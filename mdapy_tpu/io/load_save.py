@@ -1,0 +1,810 @@
+"""File I/O: LAMMPS dump / data, extended & classical XYZ, POSCAR, MP (parquet).
+
+Capability parity with the reference's load_save.py (see SURVEY.md Appendix B):
+  - LAMMPS dump read/write incl. triclinic `xy xz yz` tilt bounds and
+    transparent ``.gz`` (reference: load_save.py:66-199, 1337, 1911)
+  - LAMMPS data read/write, Masses -> element inference (:276-311, 1036, 1755)
+  - extended XYZ with ``Lattice=... Properties=...`` and classical 4-column
+    mode (:201-275, 653, 1566)
+  - VASP POSCAR direct & cartesian, selective dynamics (:864, 1655)
+  - native "MP" format: parquet with box/origin/boundary + global_info in the
+    file metadata — lossless System round-trip (:610-650, 1534)
+
+All readers return ``(AtomFrame, Box, global_info: dict)``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.box import Box
+from ..core.elements import (
+    atomic_masses,
+    atomic_numbers,
+    chemical_symbols,
+    infer_element_from_mass,
+    mass_of,
+)
+from ..core.frame import AtomFrame
+
+__all__ = ["BuildSystem", "SaveSystem", "load", "save"]
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _open_text(filename: str, mode: str = "rt"):
+    if str(filename).endswith(".gz"):
+        return gzip.open(filename, mode)
+    return open(filename, mode)
+
+
+def _sniff_format(filename: str, fmt: Optional[str] = None) -> str:
+    if fmt is not None:
+        return fmt.lower()
+    name = str(filename)
+    if name.endswith(".gz"):
+        name = name[:-3]
+    lower = name.lower()
+    base = os.path.basename(lower)
+    if lower.endswith((".xyz",)):
+        return "xyz"
+    if lower.endswith((".dump", ".lammpstrj")) or ".dump." in base:
+        return "dump"
+    if lower.endswith((".data", ".lmp")) or ".data." in base:
+        return "data"
+    if lower.endswith((".poscar", ".vasp")) or base.startswith(("poscar", "contcar")):
+        return "poscar"
+    if lower.endswith((".mp", ".parquet")):
+        return "mp"
+    raise ValueError(f"Cannot infer file format from name: {filename}")
+
+
+def _parse_table(lines: List[str], names: List[str]) -> Dict[str, np.ndarray]:
+    """Parse whitespace-separated rows into typed columns (fast path)."""
+    import pandas as pd
+
+    buf = _io.StringIO("\n".join(lines))
+    df = pd.read_csv(
+        buf, sep=r"\s+", header=None, names=names, engine="c", dtype_backend="numpy_nullable"
+    )
+    out = {}
+    for c in names:
+        col = df[c].to_numpy()
+        if col.dtype == object:
+            col = col.astype(str)
+        elif str(col.dtype).startswith("Int"):
+            col = col.astype(np.int64)
+        elif str(col.dtype).startswith("Float"):
+            col = col.astype(np.float64)
+        out[c] = np.ascontiguousarray(col)
+    return out
+
+
+_INT_COLS = {"id", "type", "mol", "ix", "iy", "iz", "grain_id", "cluster_id"}
+
+
+def _normalize_types(cols: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in cols.items():
+        if k in _INT_COLS and v.dtype.kind in "fiu":
+            out[k] = v.astype(np.int32)
+        elif v.dtype.kind == "i":
+            out[k] = v.astype(np.int32) if k in _INT_COLS else v
+        else:
+            out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LAMMPS dump
+# ---------------------------------------------------------------------------
+
+
+def _dump_box_from_bounds(bounds: np.ndarray, tilt: Optional[np.ndarray]) -> Box:
+    """LAMMPS bound-box (+optional xy xz yz) -> Box matrix and origin."""
+    if tilt is None:
+        xy = xz = yz = 0.0
+    else:
+        xy, xz, yz = (float(t) for t in tilt)
+    xlo = bounds[0, 0] - min(0.0, xy, xz, xy + xz)
+    xhi = bounds[0, 1] - max(0.0, xy, xz, xy + xz)
+    ylo = bounds[1, 0] - min(0.0, yz)
+    yhi = bounds[1, 1] - max(0.0, yz)
+    zlo, zhi = bounds[2]
+    matrix = np.array(
+        [[xhi - xlo, 0, 0], [xy, yhi - ylo, 0], [xz, yz, zhi - zlo]], dtype=np.float64
+    )
+    return matrix, np.array([xlo, ylo, zlo], dtype=np.float64)
+
+
+def parse_dump_frame(lines: List[str]) -> Tuple[AtomFrame, Box, dict]:
+    """Parse one LAMMPS dump frame given its text lines.
+
+    Parity: reference load_save.py:66-199 (_parse_dump_frame_impl).
+    """
+    i = 0
+    timestep = 0
+    natoms = 0
+    bounds = np.zeros((3, 2))
+    tilt = None
+    boundary = [1, 1, 1]
+    col_names: List[str] = []
+    body_start = 0
+    while i < len(lines):
+        line = lines[i]
+        if line.startswith("ITEM: TIMESTEP"):
+            timestep = int(lines[i + 1].split()[0])
+            i += 2
+        elif line.startswith("ITEM: NUMBER OF ATOMS"):
+            natoms = int(lines[i + 1].split()[0])
+            i += 2
+        elif line.startswith("ITEM: BOX BOUNDS"):
+            tokens = line.split()[3:]
+            has_tilt = "xy" in tokens
+            bc = [t for t in tokens if t in ("pp", "ff", "ss", "fs", "sf", "fm", "mm", "m", "p", "f", "s")]
+            if len(bc) >= 3:
+                boundary = [1 if b.startswith("p") else 0 for b in bc[:3]]
+            tilt_vals = []
+            for d in range(3):
+                parts = lines[i + 1 + d].split()
+                bounds[d] = [float(parts[0]), float(parts[1])]
+                if has_tilt and len(parts) > 2:
+                    tilt_vals.append(float(parts[2]))
+            tilt = np.array(tilt_vals) if tilt_vals else None
+            i += 4
+        elif line.startswith("ITEM: ATOMS"):
+            col_names = line.split()[2:]
+            body_start = i + 1
+            break
+        else:
+            i += 1
+    body = lines[body_start : body_start + natoms]
+    cols = _normalize_types(_parse_table(body, col_names))
+    matrix, origin = _dump_box_from_bounds(bounds, tilt)
+    box = Box(matrix, boundary, origin)
+    # scaled coordinates -> cartesian
+    if "xs" in cols and "x" not in cols:
+        frac = np.column_stack([cols.pop("xs"), cols.pop("ys"), cols.pop("zs")])
+        cart = frac @ box.matrix + box.origin
+        cols["x"], cols["y"], cols["z"] = cart[:, 0], cart[:, 1], cart[:, 2]
+    if "xu" in cols and "x" not in cols:
+        cols["x"], cols["y"], cols["z"] = cols.pop("xu"), cols.pop("yu"), cols.pop("zu")
+    frame = AtomFrame(cols)
+    return frame, box, {"timestep": timestep}
+
+
+def read_dump(filename: str) -> Tuple[AtomFrame, Box, dict]:
+    with _open_text(filename) as f:
+        lines = f.read().splitlines()
+    return parse_dump_frame(lines)
+
+
+def write_dump(
+    filename: str,
+    frame: AtomFrame,
+    box: Box,
+    timestep: int = 0,
+    compress: bool = False,
+) -> None:
+    """Write a LAMMPS dump file. Parity: load_save.py:1911."""
+    n = frame.nrows
+    aligned_warning = box.is_general_box()
+    if aligned_warning:
+        raise ValueError(
+            "Cannot write a general (non-lower-triangular) box to LAMMPS dump; "
+            "call system.align_to_lammps() first."
+        )
+    m, o = box.matrix, box.origin
+    xy, xz, yz = m[1, 0], m[2, 0], m[2, 1]
+    triclinic = box.triclinic
+    xlo, ylo, zlo = o
+    xhi, yhi, zhi = o[0] + m[0, 0], o[1] + m[1, 1], o[2] + m[2, 2]
+    bc = " ".join("pp" if b else "ff" for b in box.boundary)
+    cols = [c for c in frame.columns if frame[c].ndim == 1]
+    # canonical ordering: id type x y z first
+    lead = [c for c in ("id", "type", "x", "y", "z") if c in cols]
+    rest = [c for c in cols if c not in lead]
+    cols = lead + rest
+    out = _io.StringIO()
+    out.write("ITEM: TIMESTEP\n%d\n" % timestep)
+    out.write("ITEM: NUMBER OF ATOMS\n%d\n" % n)
+    if triclinic:
+        xlo_b = xlo + min(0.0, xy, xz, xy + xz)
+        xhi_b = xhi + max(0.0, xy, xz, xy + xz)
+        ylo_b = ylo + min(0.0, yz)
+        yhi_b = yhi + max(0.0, yz)
+        out.write(f"ITEM: BOX BOUNDS xy xz yz {bc}\n")
+        out.write(f"{xlo_b} {xhi_b} {xy}\n{ylo_b} {yhi_b} {xz}\n{zlo} {zhi} {yz}\n")
+    else:
+        out.write(f"ITEM: BOX BOUNDS {bc}\n")
+        out.write(f"{xlo} {xhi}\n{ylo} {yhi}\n{zlo} {zhi}\n")
+    out.write("ITEM: ATOMS " + " ".join(cols) + "\n")
+    import pandas as pd
+
+    df = pd.DataFrame({c: frame[c] for c in cols})
+    df.to_csv(out, sep=" ", header=False, index=False)
+    data = out.getvalue()
+    if compress or str(filename).endswith(".gz"):
+        with gzip.open(filename, "wt") as f:
+            f.write(data)
+    else:
+        with open(filename, "w") as f:
+            f.write(data)
+
+
+# ---------------------------------------------------------------------------
+# XYZ (extended + classical)
+# ---------------------------------------------------------------------------
+
+_XYZ_TYPE_MAP = {"R": np.float64, "I": np.int32, "S": object, "L": bool}
+
+
+def _parse_xyz_comment(comment: str) -> Dict[str, object]:
+    """Parse key=value tokens of an extended-XYZ comment line (quote aware)."""
+    out: Dict[str, object] = {}
+    i, n = 0, len(comment)
+    while i < n:
+        while i < n and comment[i] in " \t":
+            i += 1
+        if i >= n:
+            break
+        start = i
+        while i < n and comment[i] not in "= \t":
+            i += 1
+        key = comment[start:i]
+        if i < n and comment[i] == "=":
+            i += 1
+            if i < n and comment[i] == '"':
+                i += 1
+                v0 = i
+                while i < n and comment[i] != '"':
+                    i += 1
+                val = comment[v0:i]
+                i += 1
+            else:
+                v0 = i
+                while i < n and comment[i] not in " \t":
+                    i += 1
+                val = comment[v0:i]
+            out[key] = val
+        else:
+            out[key] = "T"
+    return out
+
+
+def read_xyz(filename: str) -> Tuple[AtomFrame, Box, dict]:
+    """Read (first frame of) an XYZ file, extended or classical.
+
+    Parity: reference load_save.py:653 (read_xyz) + :201-275 (Properties parse).
+    """
+    with _open_text(filename) as f:
+        text = f.read().splitlines()
+    return parse_xyz_frame(text)
+
+
+def parse_xyz_frame(lines: List[str], start: int = 0) -> Tuple[AtomFrame, Box, dict]:
+    natoms = int(lines[start].split()[0])
+    comment = lines[start + 1] if start + 1 < len(lines) else ""
+    info = _parse_xyz_comment(comment)
+    global_info = {}
+    if "Lattice" in info or "lattice" in info:
+        lat = np.fromstring(str(info.get("Lattice", info.get("lattice"))), sep=" ")
+        matrix = lat.reshape(3, 3)
+        # extended xyz is column-vector convention? No: Lattice="ax ay az bx by bz cx cy cz"
+        boundary = [1, 1, 1]
+        if "pbc" in info:
+            boundary = [1 if t in ("T", "True", "1") else 0 for t in str(info["pbc"]).split()]
+        origin = np.zeros(3)
+        if "Origin" in info:
+            origin = np.fromstring(str(info["Origin"]), sep=" ")
+        box = Box(matrix, boundary, origin)
+        props = str(info.get("Properties", "species:S:1:pos:R:3"))
+        toks = props.split(":")
+        names, dtypes = [], []
+        for j in range(0, len(toks), 3):
+            pname, ptype, pcount = toks[j], toks[j + 1], int(toks[j + 2])
+            if pcount == 1:
+                names.append(pname)
+                dtypes.append(ptype)
+            else:
+                comps = (
+                    ["x", "y", "z"]
+                    if pname == "pos" and pcount == 3
+                    else [f"{pname}_{c}" for c in range(pcount)]
+                )
+                if pname == "velo" and pcount == 3:
+                    comps = ["vx", "vy", "vz"]
+                if pname in ("force", "forces") and pcount == 3:
+                    comps = ["fx", "fy", "fz"]
+                names.extend(comps)
+                dtypes.extend([ptype] * pcount)
+        body = lines[start + 2 : start + 2 + natoms]
+        cols = _parse_table(body, names)
+        for k, tchar in zip(names, dtypes):
+            if tchar == "I":
+                cols[k] = cols[k].astype(np.int32)
+            elif tchar == "L":
+                cols[k] = np.array(
+                    [str(v) in ("T", "True", "1") for v in cols[k]], dtype=bool
+                )
+        if "species" in cols:
+            cols["element"] = cols.pop("species").astype(str)
+        for k, v in info.items():
+            if k not in ("Lattice", "lattice", "Properties", "pbc", "Origin"):
+                global_info[k] = _maybe_number(v)
+    else:
+        # classical xyz: element x y z, free boundary box padded around atoms
+        body = lines[start + 2 : start + 2 + natoms]
+        cols = _parse_table(body, ["element", "x", "y", "z"])
+        cols["element"] = cols["element"].astype(str)
+        pos = np.column_stack([cols["x"], cols["y"], cols["z"]])
+        lo, hi = pos.min(0) - 5.0, pos.max(0) + 5.0
+        box = Box(np.diag(hi - lo), [0, 0, 0], lo)
+    cols = _normalize_types(cols)
+    frame = AtomFrame(cols)
+    return frame, box, global_info
+
+
+def _maybe_number(v):
+    s = str(v)
+    try:
+        f = float(s)
+        return int(f) if f.is_integer() and "." not in s and "e" not in s.lower() else f
+    except ValueError:
+        return s
+
+
+def write_xyz(
+    filename: str,
+    frame: AtomFrame,
+    box: Box,
+    classical: bool = False,
+    global_info: Optional[dict] = None,
+    mode: str = "w",
+) -> None:
+    """Write extended (default) or classical XYZ. Parity: load_save.py:1566."""
+    n = frame.nrows
+    has_elem = "element" in frame
+    out = _io.StringIO()
+    out.write(f"{n}\n")
+    if classical:
+        out.write("Created by mdapy_tpu\n")
+        elem = frame["element"] if has_elem else frame["type"].astype(str)
+        for e, x, y, z in zip(elem, frame["x"], frame["y"], frame["z"]):
+            out.write(f"{e} {x} {y} {z}\n")
+    else:
+        lat = " ".join(repr(float(v)) for v in box.matrix.ravel())
+        pbc = " ".join("T" if b else "F" for b in box.boundary)
+        props = []
+        names: List[str] = []
+        if has_elem:
+            props.append("species:S:1")
+            names.append("element")
+        props.append("pos:R:3")
+        skip = {"element", "x", "y", "z"}
+        extra = [c for c in frame.columns if c not in skip and frame[c].ndim == 1]
+        for c in extra:
+            tchar = "I" if frame[c].dtype.kind in "iu" else ("S" if frame[c].dtype.kind in "OUS" else "R")
+            props.append(f"{c}:{tchar}:1")
+        comment = f'Lattice="{lat}" Properties={":".join(props)} pbc="{pbc}"'
+        if np.any(np.abs(box.origin) > 1e-12):
+            comment += ' Origin="' + " ".join(repr(float(v)) for v in box.origin) + '"'
+        for k, v in (global_info or {}).items():
+            sv = str(v)
+            comment += f' {k}="{sv}"' if " " in sv else f" {k}={sv}"
+        out.write(comment + "\n")
+        import pandas as pd
+
+        cols = {}
+        if has_elem:
+            cols["element"] = frame["element"]
+        cols["x"], cols["y"], cols["z"] = frame["x"], frame["y"], frame["z"]
+        for c in extra:
+            cols[c] = frame[c]
+        pd.DataFrame(cols).to_csv(out, sep=" ", header=False, index=False)
+    data = out.getvalue()
+    if str(filename).endswith(".gz"):
+        with gzip.open(filename, mode + "t" if "t" not in mode else mode) as f:
+            f.write(data)
+    else:
+        with open(filename, mode) as f:
+            f.write(data)
+
+
+# ---------------------------------------------------------------------------
+# POSCAR
+# ---------------------------------------------------------------------------
+
+
+def read_poscar(filename: str) -> Tuple[AtomFrame, Box, dict]:
+    """VASP POSCAR reader (direct & cartesian, selective dynamics).
+
+    Parity: reference load_save.py:864.
+    """
+    with _open_text(filename) as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    scale = float(lines[1].split()[0])
+    matrix = np.array([[float(v) for v in lines[2 + i].split()[:3]] for i in range(3)])
+    if scale < 0:  # negative scale = target volume
+        vol = abs(np.linalg.det(matrix))
+        scale = (-scale / vol) ** (1.0 / 3.0)
+    matrix = matrix * scale
+    i = 5
+    species_names = lines[5].split()
+    if all(s.isalpha() for s in species_names):
+        counts = [int(v) for v in lines[6].split()]
+        i = 7
+    else:  # vasp4: no symbol line
+        counts = [int(v) for v in lines[5].split()]
+        species_names = [chemical_symbols[j + 1] for j in range(len(counts))]
+        i = 6
+    selective = False
+    if lines[i].strip().lower().startswith("s"):
+        selective = True
+        i += 1
+    cartesian = lines[i].strip().lower().startswith(("c", "k"))
+    i += 1
+    natoms = sum(counts)
+    rows = [lines[i + j].split() for j in range(natoms)]
+    pos = np.array([[float(v) for v in r[:3]] for r in rows])
+    if cartesian:
+        pos = pos * scale
+    else:
+        pos = pos @ matrix
+    elements = []
+    types = []
+    for t, (s, c) in enumerate(zip(species_names, counts), start=1):
+        elements.extend([s] * c)
+        types.extend([t] * c)
+    cols = {
+        "id": np.arange(1, natoms + 1, dtype=np.int32),
+        "type": np.array(types, dtype=np.int32),
+        "element": np.array(elements, dtype=object),
+        "x": pos[:, 0],
+        "y": pos[:, 1],
+        "z": pos[:, 2],
+    }
+    if selective:
+        sd = np.array([[tok == "T" for tok in r[3:6]] for r in rows], dtype=bool)
+        cols["sdx"], cols["sdy"], cols["sdz"] = sd[:, 0], sd[:, 1], sd[:, 2]
+    box = Box(matrix, [1, 1, 1])
+    return AtomFrame(cols), box, {}
+
+
+def write_poscar(
+    filename: str,
+    frame: AtomFrame,
+    box: Box,
+    direct: bool = True,
+    comment: str = "Created by mdapy_tpu",
+) -> None:
+    """POSCAR writer. Parity: load_save.py:1655."""
+    if "element" not in frame:
+        raise ValueError("POSCAR output requires an 'element' column")
+    elem = np.asarray(frame["element"]).astype(str)
+    order = np.argsort(elem, kind="stable")
+    pos = np.column_stack([frame["x"], frame["y"], frame["z"]])[order]
+    elem = elem[order]
+    uniq, counts = np.unique(elem, return_counts=True)
+    # preserve first-appearance order
+    first = {e: i for i, e in enumerate(elem)}
+    key = np.argsort([first[e] for e in uniq])
+    uniq, counts = uniq[key], counts[key]
+    with open(filename, "w") as f:
+        f.write(comment + "\n1.0\n")
+        for row in box.matrix:
+            f.write("  ".join(f"{v:.16f}" for v in row) + "\n")
+        f.write(" ".join(uniq) + "\n")
+        f.write(" ".join(str(c) for c in counts) + "\n")
+        if direct:
+            f.write("Direct\n")
+            coords = (pos - box.origin) @ box.inverse_box
+        else:
+            f.write("Cartesian\n")
+            coords = pos - box.origin
+        for row in coords:
+            f.write("  ".join(f"{v:.16f}" for v in row) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# LAMMPS data
+# ---------------------------------------------------------------------------
+
+
+def read_data(filename: str) -> Tuple[AtomFrame, Box, dict]:
+    """LAMMPS data reader (atomic & charge styles, triclinic).
+
+    Parity: reference load_save.py:1036.
+    """
+    with _open_text(filename) as f:
+        lines = [ln.split("#")[0].rstrip() for ln in f]
+    natoms = 0
+    ntypes = 0
+    xlo = ylo = zlo = 0.0
+    xhi = yhi = zhi = 0.0
+    xy = xz = yz = 0.0
+    masses: Dict[int, float] = {}
+    i = 1
+    sections: Dict[str, List[str]] = {}
+    section_names = {
+        "Masses", "Atoms", "Velocities", "Bonds", "Angles", "Dihedrals",
+        "Impropers", "Pair Coeffs", "PairIJ Coeffs", "Bond Coeffs", "Atom Type Labels",
+    }
+    atoms_style = "atomic"
+    while i < len(lines):
+        ln = lines[i].strip()
+        if not ln:
+            i += 1
+            continue
+        parts = ln.split()
+        if ln.endswith("atoms"):
+            natoms = int(parts[0])
+        elif ln.endswith("atom types"):
+            ntypes = int(parts[0])
+        elif ln.endswith("xhi"):
+            xlo, xhi = float(parts[0]), float(parts[1])
+        elif ln.endswith("yhi"):
+            ylo, yhi = float(parts[0]), float(parts[1])
+        elif ln.endswith("zhi"):
+            zlo, zhi = float(parts[0]), float(parts[1])
+        elif ln.endswith("yz"):
+            xy, xz, yz = float(parts[0]), float(parts[1]), float(parts[2])
+        else:
+            header = ln
+            for sn in section_names:
+                if header.startswith(sn):
+                    if sn == "Atoms" and "#" in lines[i]:
+                        pass
+                    body = []
+                    j = i + 1
+                    while j < len(lines) and not lines[j].strip():
+                        j += 1
+                    while j < len(lines):
+                        s = lines[j].strip()
+                        if not s:
+                            if body:
+                                break
+                        else:
+                            body.append(s)
+                        j += 1
+                    sections[sn] = body
+                    i = j - 1
+                    break
+        i += 1
+    # style from original (pre comment-strip) Atoms line
+    with _open_text(filename) as f:
+        for ln in f:
+            if ln.split("#")[0].strip().startswith("Atoms"):
+                if "#" in ln:
+                    atoms_style = ln.split("#")[1].strip()
+                break
+    matrix = np.array([[xhi - xlo, 0, 0], [xy, yhi - ylo, 0], [xz, yz, zhi - zlo]])
+    box = Box(matrix, [1, 1, 1], [xlo, ylo, zlo])
+    if "Masses" in sections:
+        for row in sections["Masses"]:
+            p = row.split()
+            masses[int(p[0])] = float(p[1])
+    body = sections.get("Atoms", [])
+    ncols = len(body[0].split()) if body else 5
+    if atoms_style == "charge" or (atoms_style == "atomic" and ncols in (6, 9) and _looks_charge(body)):
+        names = ["id", "type", "q", "x", "y", "z"]
+    elif atoms_style in ("full",):
+        names = ["id", "mol", "type", "q", "x", "y", "z"]
+    elif atoms_style in ("molecular",):
+        names = ["id", "mol", "type", "x", "y", "z"]
+    else:
+        names = ["id", "type", "x", "y", "z"]
+    if ncols == len(names) + 3:
+        names = names + ["ix", "iy", "iz"]
+    cols = _normalize_types(_parse_table(body, names))
+    if masses:
+        mass_arr = np.array([masses.get(t, 1.0) for t in range(1, ntypes + 1)])
+        elems = [infer_element_from_mass(m) for m in mass_arr]
+        cols["element"] = np.array([elems[t - 1] for t in cols["type"]], dtype=object)
+    if "Velocities" in sections:
+        v = _parse_table(sections["Velocities"], ["id", "vx", "vy", "vz"])
+        order = np.argsort(v["id"])
+        idx = np.searchsorted(v["id"][order], cols["id"])
+        sel = order[idx]
+        cols["vx"], cols["vy"], cols["vz"] = v["vx"][sel], v["vy"][sel], v["vz"][sel]
+    frame = AtomFrame(cols)
+    return frame, box, {"masses": masses}
+
+
+def _looks_charge(body: List[str]) -> bool:
+    # Heuristic: third column fractional and small -> charge style
+    try:
+        vals = [float(r.split()[2]) for r in body[:10]]
+        return any(abs(v) < 30 and v != int(v) for v in vals) or all(v == 0 for v in vals)
+    except (ValueError, IndexError):
+        return False
+
+
+def write_data(
+    filename: str,
+    frame: AtomFrame,
+    box: Box,
+    data_format: str = "atomic",
+    type_masses: Optional[Dict[int, float]] = None,
+) -> None:
+    """LAMMPS data writer (atomic/charge styles). Parity: load_save.py:1755."""
+    if box.is_general_box():
+        raise ValueError("LAMMPS data requires a lower-triangular box; align first.")
+    n = frame.nrows
+    types = frame["type"] if "type" in frame else np.ones(n, dtype=np.int32)
+    ntypes = int(types.max()) if n else 0
+    m, o = box.matrix, box.origin
+    with open(filename, "w") as f:
+        f.write("# LAMMPS data file written by mdapy_tpu\n\n")
+        f.write(f"{n} atoms\n{ntypes} atom types\n\n")
+        f.write(f"{o[0]} {o[0] + m[0, 0]} xlo xhi\n")
+        f.write(f"{o[1]} {o[1] + m[1, 1]} ylo yhi\n")
+        f.write(f"{o[2]} {o[2] + m[2, 2]} zlo zhi\n")
+        if box.triclinic:
+            f.write(f"{m[1, 0]} {m[2, 0]} {m[2, 1]} xy xz yz\n")
+        f.write("\n")
+        if type_masses is None and "element" in frame:
+            type_masses = {}
+            elem = np.asarray(frame["element"]).astype(str)
+            for t in range(1, ntypes + 1):
+                sel = types == t
+                if sel.any():
+                    type_masses[t] = mass_of(elem[sel][0])
+        if type_masses:
+            f.write("Masses\n\n")
+            for t in range(1, ntypes + 1):
+                f.write(f"{t} {type_masses.get(t, 1.0)}\n")
+            f.write("\n")
+        f.write(f"Atoms # {data_format}\n\n")
+        ids = frame["id"] if "id" in frame else np.arange(1, n + 1)
+        if data_format == "charge":
+            q = frame["q"] if "q" in frame else np.zeros(n)
+            for a, t, qq, x, y, z in zip(ids, types, q, frame["x"], frame["y"], frame["z"]):
+                f.write(f"{a} {t} {qq} {x} {y} {z}\n")
+        else:
+            for a, t, x, y, z in zip(ids, types, frame["x"], frame["y"], frame["z"]):
+                f.write(f"{a} {t} {x} {y} {z}\n")
+        if "vx" in frame:
+            f.write("\nVelocities\n\n")
+            for a, vx, vy, vz in zip(ids, frame["vx"], frame["vy"], frame["vz"]):
+                f.write(f"{a} {vx} {vy} {vz}\n")
+
+
+# ---------------------------------------------------------------------------
+# MP (parquet) — native lossless format
+# ---------------------------------------------------------------------------
+
+
+def read_mp(filename: str) -> Tuple[AtomFrame, Box, dict]:
+    """Parquet with box/origin/boundary/global_info in file metadata.
+
+    Parity: reference load_save.py:610-650.
+    """
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(filename)
+    meta = {k.decode(): v.decode() for k, v in (table.schema.metadata or {}).items()}
+    matrix = np.array(json.loads(meta.get("box", "null")) or np.eye(3).tolist())
+    origin = np.array(json.loads(meta.get("origin", "[0,0,0]")))
+    boundary = np.array(json.loads(meta.get("boundary", "[1,1,1]")))
+    global_info = json.loads(meta.get("global_info", "{}"))
+    box = Box(matrix, boundary, origin)
+    cols = {}
+    for name in table.column_names:
+        col = table.column(name).to_numpy(zero_copy_only=False)
+        if col.dtype == object and len(col) and isinstance(col[0], str):
+            col = col.astype(object)
+        cols[name] = np.ascontiguousarray(col)
+    return AtomFrame(_normalize_types(cols)), box, global_info
+
+
+def write_mp(
+    filename: str, frame: AtomFrame, box: Box, global_info: Optional[dict] = None
+) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrays, names = [], []
+    for k, v in frame.items():
+        if v.ndim != 1:
+            for j in range(v.shape[1]):
+                arrays.append(pa.array(v[:, j]))
+                names.append(f"{k}_{j}")
+        else:
+            arrays.append(pa.array(v))
+            names.append(k)
+    meta = {
+        "box": json.dumps(box.matrix.tolist()),
+        "origin": json.dumps(box.origin.tolist()),
+        "boundary": json.dumps(box.boundary.tolist()),
+        "global_info": json.dumps(global_info or {}, default=str),
+    }
+    table = pa.Table.from_arrays(arrays, names=names)
+    table = table.replace_schema_metadata({k: v for k, v in meta.items()})
+    pq.write_table(table, filename)
+
+
+# ---------------------------------------------------------------------------
+# Facade
+# ---------------------------------------------------------------------------
+
+_READERS = {
+    "dump": read_dump,
+    "xyz": read_xyz,
+    "poscar": read_poscar,
+    "data": read_data,
+    "mp": read_mp,
+}
+
+
+class BuildSystem:
+    """Reader facade. Parity: reference load_save.py BuildSystem."""
+
+    @staticmethod
+    def from_file(filename: str, fmt: Optional[str] = None):
+        fmt = _sniff_format(filename, fmt)
+        return _READERS[fmt](filename)
+
+    @staticmethod
+    def from_ase(atoms):
+        """Convert an ase.Atoms (parity: load_save.py:508)."""
+        matrix = np.array(atoms.cell[:], dtype=np.float64)
+        if not matrix.any():
+            matrix = np.eye(3) * 100.0
+        boundary = [1 if p else 0 for p in atoms.pbc]
+        pos = atoms.get_positions()
+        symbols = np.array(atoms.get_chemical_symbols(), dtype=object)
+        uniq = sorted(set(symbols), key=list(symbols).index)
+        tmap = {s: i + 1 for i, s in enumerate(uniq)}
+        cols = {
+            "id": np.arange(1, len(atoms) + 1, dtype=np.int32),
+            "type": np.array([tmap[s] for s in symbols], dtype=np.int32),
+            "element": symbols,
+            "x": pos[:, 0],
+            "y": pos[:, 1],
+            "z": pos[:, 2],
+        }
+        if atoms.has("momenta"):
+            vel = atoms.get_velocities()
+            cols["vx"], cols["vy"], cols["vz"] = vel[:, 0], vel[:, 1], vel[:, 2]
+        return AtomFrame(cols), Box(matrix, boundary), {}
+
+
+class SaveSystem:
+    """Writer facade. Parity: reference load_save.py SaveSystem."""
+
+    @staticmethod
+    def write(filename: str, frame: AtomFrame, box: Box, fmt: Optional[str] = None, **kw):
+        fmt = _sniff_format(filename, fmt)
+        if fmt == "dump":
+            write_dump(filename, frame, box, **kw)
+        elif fmt == "xyz":
+            write_xyz(filename, frame, box, **kw)
+        elif fmt == "poscar":
+            write_poscar(filename, frame, box, **kw)
+        elif fmt == "data":
+            write_data(filename, frame, box, **kw)
+        elif fmt == "mp":
+            write_mp(filename, frame, box, **kw)
+        else:
+            raise ValueError(f"Unknown format {fmt}")
+
+
+def load(filename: str, fmt: Optional[str] = None):
+    """Load a file into a System."""
+    from ..core.system import System
+
+    return System(filename=filename, fmt=fmt)
+
+
+def save(filename: str, system, fmt: Optional[str] = None, **kw) -> None:
+    SaveSystem.write(filename, system.data, system.box, fmt, **kw)

@@ -1,0 +1,226 @@
+"""Sort-based cell-list neighbor search — the TPU-native foundation kernel.
+
+Replaces the reference's serial linked-cell binning + OpenMP Verlet build
+(reference: src/neighbor.cpp:64-187) with a fully-batched XLA pipeline:
+
+  1. fractional coords -> per-atom cell id (periodic dims wrapped, free dims
+     clamped; clamping is 1-Lipschitz so adjacent-cell coverage stays exact)
+  2. argsort by cell id (replaces scatter/linked lists — race-free by design)
+  3. per-cell [start, count) offsets via searchsorted
+  4. for each atom: gather candidates from the 27-cell stencil with a static
+     per-cell capacity M, mask invalid slots
+  5. masked top-k by distance -> (N, max_neigh) index/distance lists sorted by
+     distance, true neighbor counts, and an overflow flag (the reference's
+     guarded-write contract, neighbor.cpp:122-126 / neighbor.py:135-142)
+
+Static shapes everywhere: (ncells, M, max_neigh, chunk) are host-chosen
+capacities; two cheap device passes (count, then gather) keep them tight.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "cell_grid_shape",
+    "compute_cell_ids",
+    "cell_occupancy",
+    "neighbor_list_fixed",
+    "candidate_gather",
+]
+
+
+def cell_grid_shape(box_matrix: np.ndarray, rc: float, max_cells: int = 2**22) -> Tuple[int, int, int]:
+    """Cells per axis so one fractional cell spans >= rc along each face normal."""
+    m = np.asarray(box_matrix, dtype=np.float64)
+    vol = abs(float(np.linalg.det(m)))
+    thickness = np.array(
+        [
+            vol / np.linalg.norm(np.cross(m[1], m[2])),
+            vol / np.linalg.norm(np.cross(m[0], m[2])),
+            vol / np.linalg.norm(np.cross(m[0], m[1])),
+        ]
+    )
+    nc = np.maximum(1, np.floor(thickness / float(rc)).astype(np.int64))
+    # bound total cells (degenerate tiny rc): shrink largest dims first
+    while int(np.prod(nc)) > max_cells:
+        nc[np.argmax(nc)] //= 2
+    return int(nc[0]), int(nc[1]), int(nc[2])
+
+
+def compute_cell_ids(pos, box_matrix, origin, boundary, ncells) -> jnp.ndarray:
+    """Per-atom flat cell index. Periodic dims wrap, free dims clamp."""
+    ncx, ncy, ncz = ncells
+    nc = jnp.array([ncx, ncy, ncz])
+    inv = jnp.linalg.inv(box_matrix)
+    frac = (pos - origin) @ inv
+    per = boundary.astype(bool)
+    frac = jnp.where(per, frac - jnp.floor(frac), frac)
+    idx = jnp.floor(frac * nc).astype(jnp.int32)
+    idx = jnp.where(per, jnp.mod(idx, nc), jnp.clip(idx, 0, nc - 1))
+    return (idx[:, 0] * ncy + idx[:, 1]) * ncz + idx[:, 2]
+
+
+@functools.partial(jax.jit, static_argnames=("ncells",))
+def cell_occupancy(pos, box_matrix, origin, boundary, ncells):
+    """Returns (order, sorted_cell_ids, cell_start, cell_count, max_occupancy)."""
+    ncx, ncy, ncz = ncells
+    ntot = ncx * ncy * ncz
+    cid = compute_cell_ids(pos, box_matrix, origin, boundary, ncells)
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    cell_start = jnp.searchsorted(sorted_cid, jnp.arange(ntot, dtype=sorted_cid.dtype))
+    cell_end = jnp.searchsorted(
+        sorted_cid, jnp.arange(ntot, dtype=sorted_cid.dtype), side="right"
+    )
+    cell_count = (cell_end - cell_start).astype(jnp.int32)
+    return order, sorted_cid, cell_start.astype(jnp.int32), cell_count, jnp.max(cell_count)
+
+
+def _stencil_cells(cell_xyz, ncells, boundary):
+    """(...,27) flat ids of the 3x3x3 stencil and a validity mask (free dims)."""
+    ncx, ncy, ncz = ncells
+    nc = jnp.array([ncx, ncy, ncz])
+    offs = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"
+        ),
+        axis=-1,
+    ).reshape(27, 3)
+    nbr = cell_xyz[..., None, :] + offs  # (...,27,3)
+    per = boundary.astype(bool)
+    wrapped = jnp.mod(nbr, nc)
+    in_range = jnp.all(per | ((nbr >= 0) & (nbr < nc)), axis=-1)
+    nbr = jnp.where(per, wrapped, jnp.clip(nbr, 0, nc - 1))
+    flat = (nbr[..., 0] * ncy + nbr[..., 1]) * ncz + nbr[..., 2]
+    # Dedup: with <3 cells along an axis, wrap/clamp collapses distinct stencil
+    # offsets onto the same cell; keep only the first *valid* occurrence of
+    # each id (an out-of-range entry must not shadow a later in-range one).
+    same = flat[..., :, None] == flat[..., None, :]  # (...,27,27)
+    earlier = jnp.tril(jnp.ones((27, 27), dtype=bool), k=-1)
+    dup = jnp.any(same & earlier & in_range[..., None, :], axis=-1)
+    return flat, in_range & ~dup
+
+
+def candidate_gather(
+    pos,
+    box_matrix,
+    origin,
+    boundary,
+    ncells,
+    order,
+    cell_start,
+    cell_count,
+    M: int,
+    query_pos=None,
+):
+    """For each query atom: (27*M) candidate atom indices + validity mask.
+
+    Candidates index into the *original* atom ordering.  ``query_pos`` defaults
+    to ``pos`` (self neighbor search); pass distinct positions for queries
+    against a reference set (e.g. Wigner-Seitz site assignment).
+    """
+    ncx, ncy, ncz = ncells
+    nc = jnp.array([ncx, ncy, ncz])
+    inv = jnp.linalg.inv(box_matrix)
+    q = pos if query_pos is None else query_pos
+    frac = (q - origin) @ inv
+    per = boundary.astype(bool)
+    fracw = jnp.where(per, frac - jnp.floor(frac), frac)
+    cxyz = jnp.floor(fracw * nc).astype(jnp.int32)
+    cxyz = jnp.where(per, jnp.mod(cxyz, nc), jnp.clip(cxyz, 0, nc - 1))
+    cells, cell_ok = _stencil_cells(cxyz, ncells, boundary)  # (Q,27), (Q,27)
+    starts = cell_start[cells]  # (Q,27)
+    counts = jnp.where(cell_ok, cell_count[cells], 0)  # (Q,27)
+    slot = jnp.arange(M, dtype=jnp.int32)  # (M,)
+    cand_sorted_idx = starts[..., None] + slot  # (Q,27,M)
+    valid = slot < counts[..., None]  # (Q,27,M)
+    cand_sorted_idx = jnp.where(valid, cand_sorted_idx, 0)
+    cand = order[cand_sorted_idx]  # (Q,27,M) original indices
+    Qn = cand.shape[0]
+    return cand.reshape(Qn, 27 * M), valid.reshape(Qn, 27 * M)
+
+
+def _min_image_disp(disp, box_matrix, inv, boundary):
+    frac = disp @ inv
+    shift = jnp.round(frac)
+    frac = frac - shift * boundary
+    return frac @ box_matrix
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ncells", "M", "max_neigh", "chunk", "exclude_self")
+)
+def neighbor_list_fixed(
+    pos,
+    box_matrix,
+    origin,
+    boundary,
+    rc: float,
+    ncells,
+    order,
+    cell_start,
+    cell_count,
+    M: int,
+    max_neigh: int,
+    chunk: int = 65536,
+    exclude_self: bool = True,
+    query_pos=None,
+):
+    """Fixed-capacity Verlet list sorted by distance.
+
+    ``pos`` is the candidate set the cell list was built over; ``query_pos``
+    (default: same as ``pos``) are the atoms whose neighbors are wanted —
+    used when querying original atoms against a replicated candidate set.
+    When they differ, self-exclusion compares query index i to candidate
+    index i (valid for the image-0-first replication layout).
+
+    Returns (verlet (Q,max_neigh) int32 -1 padded, dist (Q,max_neigh),
+    counts (Q,) int32 true neighbor count, max_count scalar).  Counts may
+    exceed max_neigh — callers must check (overflow contract).
+    """
+    q_all = pos if query_pos is None else query_pos
+    n = q_all.shape[0]
+    inv = jnp.linalg.inv(box_matrix)
+    bnd = boundary.astype(pos.dtype)
+    npad = -(-n // chunk) * chunk
+    pad = npad - n
+    pos_p = jnp.pad(q_all, ((0, pad), (0, 0)))
+
+    def do_chunk(start):
+        qpos = jax.lax.dynamic_slice(pos_p, (start, 0), (chunk, 3))
+        cand, valid = candidate_gather(
+            pos, box_matrix, origin, boundary, ncells,
+            order, cell_start, cell_count, M, query_pos=qpos,
+        )  # (chunk, C)
+        cpos = pos[cand]  # (chunk, C, 3)
+        disp = _min_image_disp(cpos - qpos[:, None, :], box_matrix, inv, bnd)
+        d2 = jnp.sum(disp * disp, axis=-1)
+        qidx = start + jnp.arange(chunk, dtype=jnp.int32)
+        ok = valid & (d2 <= rc * rc)
+        if exclude_self:
+            ok = ok & (cand != qidx[:, None])
+        else:
+            ok = ok & (d2 > 1e-20)
+        cnt = jnp.sum(ok, axis=1).astype(jnp.int32)
+        big = jnp.array(jnp.finfo(d2.dtype).max, d2.dtype)
+        d2m = jnp.where(ok, d2, big)
+        neg_top, top_i = jax.lax.top_k(-d2m, max_neigh)
+        top_d2 = -neg_top
+        sel = jnp.take_along_axis(cand, top_i, axis=1)
+        good = top_d2 < big
+        verlet = jnp.where(good, sel, -1).astype(jnp.int32)
+        dist = jnp.where(good, jnp.sqrt(jnp.maximum(top_d2, 0.0)), 0.0)
+        return verlet, dist, cnt
+
+    starts = jnp.arange(0, npad, chunk)
+    verlet, dist, cnt = jax.lax.map(do_chunk, starts)
+    verlet = verlet.reshape(npad, max_neigh)[:n]
+    dist = dist.reshape(npad, max_neigh)[:n]
+    cnt = cnt.reshape(npad)[:n]
+    return verlet, dist, cnt, jnp.max(cnt)

@@ -1,0 +1,158 @@
+"""Fixed-radius neighbor search front-end.
+
+Parity with the reference's Neighbor (reference: neighbor.py:94-142 +
+src/neighbor.cpp:102-187): fixed-capacity Verlet lists with a hard overflow
+ValueError when the user passes ``max_neigh`` too small, an auto-sizing path
+(count pass -> exact capacity), and small-box auto-replication so the
+minimum-image convention holds (box.check_small_box).
+
+The verlet list rows are sorted by distance (ascending); -1 pads empty slots.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.box import Box, init_box
+from ..core.frame import AtomFrame
+from . import cell_list as cl
+
+__all__ = ["Neighbor", "neighbor_search", "replicate_for_small_box"]
+
+
+def replicate_for_small_box(
+    pos: np.ndarray, box: Box, rc: float
+) -> Tuple[np.ndarray, Box, int]:
+    """Tile the system so every periodic thickness >= 2*rc.
+
+    Image 0 is the original atom set, so replica atom ``j`` maps to original
+    atom ``j % N``.  Returns (pos_rep, box_rep, n_images).
+    """
+    repeat = box.check_small_box(rc)
+    n_images = int(np.prod(repeat))
+    if n_images == 1:
+        return pos, box, 1
+    shifts = []
+    for ix in range(repeat[0]):
+        for iy in range(repeat[1]):
+            for iz in range(repeat[2]):
+                shifts.append(
+                    ix * box.matrix[0] + iy * box.matrix[1] + iz * box.matrix[2]
+                )
+    order = np.argsort([np.linalg.norm(s) for s in shifts], kind="stable")
+    shifts = np.array(shifts)[order]
+    assert np.allclose(shifts[0], 0.0)
+    pos_rep = (pos[None, :, :] + shifts[:, None, :]).reshape(-1, 3)
+    box_rep = Box(box.matrix * repeat[:, None].astype(np.float64), box.boundary, box.origin)
+    return pos_rep, box_rep, n_images
+
+
+def neighbor_search(
+    pos: np.ndarray,
+    box: Box,
+    rc: float,
+    max_neigh: Optional[int] = None,
+    exclude_self: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compute (verlet_list, distance_list, neighbor_number) for one frame.
+
+    Handles small-box replication transparently: returned indices are taken
+    modulo N so they always refer to original atoms.  Raises ValueError on
+    user-capacity overflow (contract of reference neighbor.py:135-142).
+    """
+    pos = np.ascontiguousarray(pos, dtype=np.float64)
+    n = pos.shape[0]
+    if n == 0:
+        raise ValueError("Empty position array")
+    pos_c, box_c, n_images = replicate_for_small_box(pos, box, rc)
+    user_capped = max_neigh is not None
+
+    ncells = cl.cell_grid_shape(box_c.matrix, rc)
+    posj = jnp.asarray(pos_c)
+    mj = jnp.asarray(box_c.matrix)
+    oj = jnp.asarray(box_c.origin)
+    bj = jnp.asarray(box_c.boundary)
+    order, _, cell_start, cell_count, max_occ = cl.cell_occupancy(
+        posj, mj, oj, bj, ncells
+    )
+    M = int(max_occ)
+    ntotal = pos_c.shape[0]
+    chunk = min(65536, _next_pow2(ntotal))
+
+    if max_neigh is None:
+        density = ntotal / abs(box_c.volume)
+        est = int(np.ceil(density * 4.0 / 3.0 * np.pi * rc**3 * 1.2)) + 8
+        cap = min(est, 27 * M)
+    else:
+        cap = min(max_neigh, 27 * M)
+    cap = max(cap, 1)
+
+    # queries: only original atoms (first n rows of pos_c by construction)
+    def run(capacity):
+        verlet, dist, cnt, max_cnt = cl.neighbor_list_fixed(
+            posj,
+            mj, oj, bj, float(rc), ncells,
+            order, cell_start, cell_count, M,
+            max_neigh=capacity, chunk=min(chunk, _next_pow2(n)),
+            exclude_self=exclude_self,
+            query_pos=posj[:n] if n_images > 1 else None,
+        )
+        return verlet, dist, cnt, int(max_cnt)
+
+    verlet, dist, cnt, max_cnt = run(cap)
+    if max_cnt > cap:
+        if user_capped and max_cnt > max_neigh:
+            raise ValueError(
+                f"max_neigh={max_neigh} is too small: an atom has {max_cnt} "
+                f"neighbors within rc={rc}. Increase max_neigh."
+            )
+        verlet, dist, cnt, max_cnt = run(max_cnt)
+
+    verlet = np.asarray(verlet)
+    dist = np.asarray(dist)
+    cnt = np.asarray(cnt)
+    if n_images > 1:
+        verlet = np.where(verlet >= 0, verlet % n, -1).astype(np.int32)
+    return verlet, dist, cnt
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1)).bit_length()
+
+
+class Neighbor:
+    """Class front-end mirroring the reference API (reference: neighbor.py).
+
+    Parameters
+    ----------
+    pos : (N,3) array or AtomFrame with x/y/z columns
+    box : Box-like
+    rc : cutoff radius
+    max_neigh : optional fixed capacity (ValueError on overflow)
+    """
+
+    def __init__(
+        self,
+        pos: Union[np.ndarray, AtomFrame],
+        box,
+        rc: float,
+        max_neigh: Optional[int] = None,
+    ) -> None:
+        if isinstance(pos, AtomFrame):
+            pos = np.column_stack([pos["x"], pos["y"], pos["z"]])
+        self.pos = np.ascontiguousarray(pos, dtype=np.float64)
+        self.box = init_box(box)
+        self.rc = float(rc)
+        self.max_neigh = max_neigh
+        self.verlet_list: Optional[np.ndarray] = None
+        self.distance_list: Optional[np.ndarray] = None
+        self.neighbor_number: Optional[np.ndarray] = None
+
+    def compute(self) -> "Neighbor":
+        self.verlet_list, self.distance_list, self.neighbor_number = neighbor_search(
+            self.pos, self.box, self.rc, self.max_neigh
+        )
+        return self

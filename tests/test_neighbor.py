@@ -1,0 +1,120 @@
+import numpy as np
+import pytest
+
+from mdapy_tpu import Box, Neighbor, NearestNeighbor, System
+from mdapy_tpu.neighbor.neighbor import neighbor_search
+from mdapy_tpu.neighbor.knn import knn_search
+
+
+def brute_force_neighbors(pos, box, rc):
+    """O(N^2) reference with explicit image loops (handles small boxes)."""
+    n = len(pos)
+    m = box.matrix
+    reps = box.check_small_box(rc)
+    shifts = []
+    rng = [range(-int(r), int(r) + 1) if b else [0]
+           for r, b in zip(reps, box.boundary)]
+    for i in rng[0]:
+        for j in rng[1]:
+            for k in rng[2]:
+                shifts.append(i * m[0] + j * m[1] + k * m[2])
+    shifts = np.array(shifts)
+    out = []
+    for i in range(n):
+        disp = pos[None, :, :] + shifts[:, None, :] - pos[i]  # (S,N,3)
+        d = np.linalg.norm(disp, axis=-1)
+        pairs = []
+        for s in range(len(shifts)):
+            for j in range(n):
+                if d[s, j] <= rc and d[s, j] > 1e-9:
+                    pairs.append((d[s, j], j))
+        pairs.sort()
+        out.append(pairs)
+    return out
+
+
+def random_system(n=200, L=12.0, seed=0, triclinic=False, boundary=(1, 1, 1)):
+    rng = np.random.default_rng(seed)
+    if triclinic:
+        m = np.array([[L, 0, 0], [0.3 * L, L, 0], [0.2 * L, -0.1 * L, L]])
+    else:
+        m = np.eye(3) * L
+    frac = rng.uniform(0, 1, (n, 3))
+    pos = frac @ m
+    return pos, Box(m, boundary)
+
+
+@pytest.mark.parametrize("triclinic", [False, True])
+@pytest.mark.parametrize("boundary", [(1, 1, 1), (1, 1, 0), (0, 0, 0)])
+def test_neighbor_matches_brute_force(triclinic, boundary):
+    pos, box = random_system(150, 11.0, seed=3, triclinic=triclinic, boundary=boundary)
+    rc = 3.2
+    verlet, dist, nn = neighbor_search(pos, box, rc)
+    ref = brute_force_neighbors(pos, box, rc)
+    for i in range(len(pos)):
+        got = sorted(
+            [(round(dist[i, s], 9), int(verlet[i, s])) for s in range(nn[i])]
+        )
+        want = sorted([(round(d, 9), j) for d, j in ref[i]])
+        assert nn[i] == len(ref[i]), f"atom {i}: count {nn[i]} != {len(ref[i])}"
+        got_j = sorted(j for _, j in got)
+        want_j = sorted(j for _, j in want)
+        assert got_j == want_j, f"atom {i}"
+        assert np.allclose([d for d, _ in got], [d for d, _ in want], atol=1e-6)
+
+
+def test_neighbor_small_box_replication():
+    # 4-atom FCC cell, rc larger than the cell: every neighbor via images
+    a = 3.615
+    frac = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    pos = frac * a
+    box = Box(a)
+    rc = 3.0
+    verlet, dist, nn = neighbor_search(pos, box, rc)
+    # each fcc atom has 12 nearest neighbors at a/sqrt(2)
+    assert np.all(nn == 12)
+    assert np.allclose(dist[verlet >= 0][: 12 * 4], a / np.sqrt(2), atol=1e-9)
+
+
+def test_neighbor_overflow_contract():
+    pos, box = random_system(100, 10.0, seed=4)
+    with pytest.raises(ValueError, match="max_neigh"):
+        neighbor_search(pos, box, 4.0, max_neigh=2)
+
+
+def test_neighbor_sorted_by_distance():
+    pos, box = random_system(120, 11.0, seed=5)
+    verlet, dist, nn = neighbor_search(pos, box, 4.0)
+    for i in range(len(pos)):
+        d = dist[i, : nn[i]]
+        assert np.all(np.diff(d) >= -1e-12)
+
+
+def test_knn_exact():
+    pos, box = random_system(150, 11.0, seed=6, triclinic=True)
+    k = 12
+    idx, dist = knn_search(pos, box, k)
+    ref = brute_force_neighbors(pos, box, 6.0)
+    for i in range(len(pos)):
+        want = ref[i][:k]
+        assert len(want) == k
+        assert np.allclose(dist[i], [d for d, _ in want], atol=1e-6)
+
+
+def test_knn_small_system():
+    # fewer atoms than needed without replication
+    a = 3.615
+    frac = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    pos = frac * a
+    box = Box(a)
+    idx, dist = knn_search(pos, box, 12 + 6)
+    assert np.allclose(dist[:, :12], a / np.sqrt(2), atol=1e-9)
+
+
+def test_neighbor_class_api():
+    pos, box = random_system(80, 10.0, seed=7)
+    n = Neighbor(pos, box, rc=3.0).compute()
+    assert n.verlet_list.shape[0] == 80
+    assert n.neighbor_number.dtype == np.int32
+    k = NearestNeighbor(pos, box, k=8).compute()
+    assert k.verlet_list.shape == (80, 8)
