@@ -69,6 +69,8 @@ _LAZY = {
     "unwrap_trajectory": (".trajectory.unwrap", "unwrap_trajectory"),
     "TachyonRender": (".render.render", "TachyonRender"),
     "CameraParams": (".render.render", "CameraParams"),
+    "preset_camera": (".render.camera", "preset_camera"),
+    "auto_camera": (".render.camera", "auto_camera"),
 }
 
 __all__ = sorted(_LAZY)
