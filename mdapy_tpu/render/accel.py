@@ -1,0 +1,351 @@
+"""Acceleration structures for the tracer — binning, not BVHs.
+
+TPU rationale (SURVEY.md §7 hard-part 2): per-ray tree traversal is scalar
+and divergent; TPUs want dense tile x candidate-chunk compute with shared
+gathers.  Structures (one per primitive kind so the hot loop never pays for
+formula dispatch), all built on one sorted-pair expansion primitive:
+
+  * screen-tile bins  — primary rays: conservative per-primitive screen-space
+    AABBs -> (tile, prim) pairs -> per-tile candidate lists.  Exact: a
+    primitive visible through a pixel must project inside that pixel's
+    conservative bounds.
+  * light-grid bins   — shadow rays (directional light): the lateral position
+    of a shadow ray is constant, so a 2D grid perpendicular to the light
+    direction yields *terminal* candidate lists (no far-field traversal).
+
+Every stage is jitted — on remote-compile TPU platforms eager dispatch costs
+a compile round-trip per op.  Capacities are measured by a jitted count pass
+and rounded up to power-of-two buckets so jit caches stay warm.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["KindBins", "build_screen_bins", "build_light_bins", "ScreenBins", "LightBins"]
+
+
+def _round_pow2(x: int, lo: int = 256) -> int:
+    return max(lo, 1 << max(0, int(x) - 1).bit_length())
+
+
+def _round8(x: int) -> int:
+    return max(8, -(-int(x) // 8) * 8)
+
+
+# ---------------------------------------------------------------------------
+# generic (bucket, item) pair expansion — fully jitted
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "nbuckets", "K"))
+def _expand_and_bucket(x0, y0, span_w, span_h, nx, cap: int, nbuckets: int, K: int):
+    """Spans -> sorted (bucket, item) pairs -> per-bucket lists, one pass."""
+    sizes = (span_w * span_h).astype(jnp.int32)
+    offsets = jnp.cumsum(sizes) - sizes
+    total = offsets[-1] + sizes[-1]
+    pair_idx = jnp.arange(cap, dtype=jnp.int32)
+    item = jnp.searchsorted(offsets + sizes, pair_idx, side="right").astype(jnp.int32)
+    item = jnp.minimum(item, sizes.shape[0] - 1)
+    local = pair_idx - offsets[item]
+    w = jnp.maximum(span_w[item], 1)
+    lx = local % w
+    ly = local // w
+    bucket = (y0[item] + ly) * nx + (x0[item] + lx)
+    valid = pair_idx < total
+    bucket = jnp.where(valid, bucket, nbuckets).astype(jnp.int32)
+    order = jnp.argsort(bucket)
+    bucket_sorted = bucket[order]
+    item_sorted = jnp.where(valid[order], item[order], -1)
+    bucket_ids = jnp.arange(nbuckets, dtype=jnp.int32)
+    start = jnp.searchsorted(bucket_sorted, bucket_ids).astype(jnp.int32)
+    end = jnp.searchsorted(bucket_sorted, bucket_ids, side="right").astype(jnp.int32)
+    count = end - start
+    slot = jnp.arange(K, dtype=jnp.int32)
+    idx = start[:, None] + slot[None, :]
+    ok = slot[None, :] < count[:, None]
+    idx = jnp.where(ok, idx, 0)
+    cand = jnp.where(ok, item_sorted[idx], -1)
+    return cand, count
+
+
+@jax.jit
+def _pair_stats(span_w, span_h):
+    return jnp.sum((span_w * span_h).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "nbuckets"))
+def _count_only(x0, y0, span_w, span_h, nx, cap: int, nbuckets: int):
+    """Max per-bucket count for capacity sizing (shares code path shape)."""
+    sizes = (span_w * span_h).astype(jnp.int32)
+    offsets = jnp.cumsum(sizes) - sizes
+    total = offsets[-1] + sizes[-1]
+    pair_idx = jnp.arange(cap, dtype=jnp.int32)
+    item = jnp.searchsorted(offsets + sizes, pair_idx, side="right").astype(jnp.int32)
+    item = jnp.minimum(item, sizes.shape[0] - 1)
+    local = pair_idx - offsets[item]
+    w = jnp.maximum(span_w[item], 1)
+    lx = local % w
+    ly = local // w
+    bucket = (y0[item] + ly) * nx + (x0[item] + lx)
+    valid = pair_idx < total
+    bucket = jnp.where(valid, bucket, nbuckets).astype(jnp.int32)
+    counts = jnp.zeros(nbuckets + 1, jnp.int32).at[bucket].add(1)
+    return jnp.max(counts[:nbuckets])
+
+
+class KindBins(NamedTuple):
+    cand: jnp.ndarray   # (nbuckets, K) item ids within the kind, -1 padded
+    count: jnp.ndarray  # (nbuckets,)
+
+
+class ScreenBins(NamedTuple):
+    sph_chunks: Optional[jnp.ndarray]  # (nb, nchunks, CH) depth-sorted ids
+    sph_zmin: Optional[jnp.ndarray]    # (nb, nchunks) chunk min depths
+    cyl: Optional[KindBins]
+    ring: Optional[KindBins]
+    tiles_x: int
+    tiles_y: int
+    tile_px: int
+
+
+class LightKind(NamedTuple):
+    cand: jnp.ndarray    # (ncells, K) ids sorted by far-depth key, -1 padded
+    keys: jnp.ndarray    # (ncells, K) sort key = c.L + r (BIG-padded)
+    count: jnp.ndarray   # (ncells,)
+
+
+class LightBins(NamedTuple):
+    sph: Optional[LightKind]
+    cyl: Optional[LightKind]
+    ring: Optional[LightKind]
+    L: jnp.ndarray
+    e1: jnp.ndarray
+    e2: jnp.ndarray
+    org: jnp.ndarray
+    inv_cell: jnp.ndarray
+    grid: int
+
+
+# ---------------------------------------------------------------------------
+# screen-space spans
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile_px", "perspective"))
+def _screen_spans(
+    centers, radii, origin, right, up2, view, left, bottom, psx, psy,
+    width: int, height: int, tile_px: int, perspective: bool,
+):
+    rel = centers - origin
+    xc = rel @ right
+    yc = rel @ up2
+    zc = rel @ view
+    r = radii
+    if perspective:
+        def extent(lat, dep):
+            unbounded = dep <= r
+            d2 = lat * lat + dep * dep
+            root = jnp.sqrt(jnp.maximum(d2 - r * r, 1e-20))
+            denom = dep * dep - r * r
+            safe = jnp.where(unbounded, 1.0, denom)
+            u1 = (lat * dep - r * root) / safe
+            u2 = (lat * dep + r * root) / safe
+            return u1, u2, unbounded
+
+        ux0, ux1, unb_x = extent(xc, zc)
+        uy0, uy1, unb_y = extent(yc, zc)
+        unb = unb_x | unb_y
+        px0 = jnp.where(unb, 0.0, (ux0 - left) / psx)
+        px1 = jnp.where(unb, float(width), (ux1 - left) / psx)
+        py0 = jnp.where(unb, 0.0, (uy0 - bottom) / psy)
+        py1 = jnp.where(unb, float(height), (uy1 - bottom) / psy)
+        behind = zc <= -r
+    else:
+        px0 = (xc - r - left) / psx
+        px1 = (xc + r - left) / psx
+        py0 = (yc - r - bottom) / psy
+        py1 = (yc + r - bottom) / psy
+        behind = jnp.zeros(centers.shape[0], dtype=bool)
+    pad = 1.5  # 1-based sampling + 0.5px AA jitter
+    ntx = (width - 1) // tile_px
+    nty = (height - 1) // tile_px
+    tx0 = jnp.clip(jnp.floor((px0 - pad) / tile_px), 0, ntx).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((px1 + pad) / tile_px), 0, ntx).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((py0 - pad) / tile_px), 0, nty).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((py1 + pad) / tile_px), 0, nty).astype(jnp.int32)
+    live = (radii > 0) & ~behind
+    offscreen = (px1 < -pad) | (px0 > width + pad) | (py1 < -pad) | (py0 > height + pad)
+    live = live & ~offscreen
+    span_w = jnp.where(live, tx1 - tx0 + 1, 0)
+    span_h = jnp.where(live, ty1 - ty0 + 1, 0)
+    return tx0, ty0, span_w, span_h
+
+
+def _build_kind(x0, y0, sw, sh, nx, nbuckets) -> KindBins:
+    total = int(_pair_stats(sw, sh))
+    cap = _round_pow2(total)
+    kmax = int(_count_only(x0, y0, sw, sh, nx, cap, nbuckets))
+    K = _round8(kmax)
+    cand, count = _expand_and_bucket(x0, y0, sw, sh, nx, cap, nbuckets, K)
+    return KindBins(cand, count)
+
+
+def _prim_bounds(scene, kind: str):
+    if kind == "sph":
+        return scene.sph_center, scene.sph_radius, int(np.sum(np.asarray(scene.sph_radius) > 0))
+    if kind == "cyl":
+        live = np.asarray(scene.cyl_radius) > 0
+        cmid = scene.cyl_base + 0.5 * scene.cyl_axis
+        clen = jnp.linalg.norm(scene.cyl_axis, axis=-1)
+        cr = jnp.where(scene.cyl_radius > 0, 0.5 * clen + scene.cyl_radius, -1.0)
+        return cmid, cr, int(live.sum())
+    live = np.asarray(scene.ring_rout) > 0
+    return scene.ring_center, scene.ring_rout, int(live.sum())
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _depth_sort_bins(cand, count, centers, radii, origin, view, chunk: int):
+    """Sort each tile's candidate row front-to-back by conservative min depth
+    (zc - r) and compute per-chunk minimum depths for early termination."""
+    nb, K = cand.shape
+    idx = jnp.maximum(cand, 0)
+    depth = (centers @ view) - radii - (origin @ view)
+    big = jnp.array(BIG_DEPTH, centers.dtype)
+    d = jnp.where(cand >= 0, depth[idx], big)
+    order = jnp.argsort(d, axis=1)
+    cand_sorted = jnp.take_along_axis(cand, order, axis=1)
+    d_sorted = jnp.take_along_axis(d, order, axis=1)
+    nchunks = -(-K // chunk)
+    pad = nchunks * chunk - K
+    d_pad = jnp.pad(d_sorted, ((0, 0), (0, pad)), constant_values=BIG_DEPTH)
+    c_pad = jnp.pad(cand_sorted, ((0, 0), (0, pad)), constant_values=-1)
+    zmin = d_pad.reshape(nb, nchunks, chunk)[:, :, 0]
+    return c_pad.reshape(nb, nchunks, chunk), zmin
+
+
+BIG_DEPTH = 1e17
+
+
+def build_screen_bins(scene, frame, width: int, height: int, tile_px: int = 16) -> ScreenBins:
+    dtype = scene.sph_center.dtype
+    ipr = np.asarray(frame["iplaneright"], dtype)
+    ipu = np.asarray(frame["iplaneup"], dtype)
+    psx = float(np.linalg.norm(ipr))
+    psy = float(np.linalg.norm(ipu))
+    right = jnp.asarray(ipr / psx)
+    up2 = jnp.asarray(ipu / psy)
+    origin = jnp.asarray(np.asarray(frame["origin"], dtype))
+    view = jnp.asarray(np.asarray(frame["view"], dtype))
+    left = -0.5 * psx * width
+    bottom = -0.5 * psy * height
+    tiles_x = -(-width // tile_px)
+    tiles_y = -(-height // tile_px)
+    nb = tiles_x * tiles_y
+    out = {}
+    for kind in ("sph", "cyl", "ring"):
+        centers, radii, nlive = _prim_bounds(scene, kind)
+        if nlive == 0:
+            out[kind] = None
+            continue
+        tx0, ty0, sw, sh = _screen_spans(
+            centers, radii, origin, right, up2, view,
+            jnp.asarray(left, dtype), jnp.asarray(bottom, dtype),
+            jnp.asarray(psx, dtype), jnp.asarray(psy, dtype),
+            width, height, tile_px, bool(frame["perspective"]),
+        )
+        out[kind] = _build_kind(tx0, ty0, sw, sh, tiles_x, nb)
+    sph_chunks = sph_zmin = None
+    if out["sph"] is not None:
+        chunk = min(128, out["sph"].cand.shape[1])
+        sph_chunks, sph_zmin = _depth_sort_bins(
+            out["sph"].cand, out["sph"].count,
+            scene.sph_center, scene.sph_radius, origin, view, chunk,
+        )
+    return ScreenBins(sph_chunks, sph_zmin, out["cyl"], out["ring"], tiles_x, tiles_y, tile_px)
+
+
+# ---------------------------------------------------------------------------
+# light-space binning
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def _light_spans(centers, radii, e1, e2, umin, vmin, inv_cell, grid: int):
+    u = centers @ e1
+    v = centers @ e2
+    live = radii > 0
+    x0 = jnp.clip(jnp.floor((u - radii - umin) * inv_cell), 0, grid - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((u + radii - umin) * inv_cell), 0, grid - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((v - radii - vmin) * inv_cell), 0, grid - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((v + radii - vmin) * inv_cell), 0, grid - 1).astype(jnp.int32)
+    sw = jnp.where(live, x1 - x0 + 1, 0)
+    sh = jnp.where(live, y1 - y0 + 1, 0)
+    return x0, y0, sw, sh
+
+
+@jax.jit
+def _light_frame(all_centers, all_radii, L):
+    a = jnp.where(
+        jnp.abs(L[0]) < 0.9,
+        jnp.array([1.0, 0.0, 0.0], L.dtype),
+        jnp.array([0.0, 1.0, 0.0], L.dtype),
+    )
+    e1 = jnp.cross(L, a)
+    e1 = e1 / jnp.linalg.norm(e1)
+    e2 = jnp.cross(L, e1)
+    u = all_centers @ e1
+    v = all_centers @ e2
+    live = all_radii > 0
+    big = jnp.array(1e30, all_centers.dtype)
+    umin = jnp.min(jnp.where(live, u - all_radii, big))
+    vmin = jnp.min(jnp.where(live, v - all_radii, big))
+    umax = jnp.max(jnp.where(live, u + all_radii, -big))
+    vmax = jnp.max(jnp.where(live, v + all_radii, -big))
+    extent = jnp.maximum(jnp.maximum(umax - umin, vmax - vmin), 1e-6)
+    return e1, e2, umin, vmin, extent
+
+
+def build_light_bins(scene, light_dir, grid: int = 128) -> LightBins:
+    dtype = scene.sph_center.dtype
+    L = jnp.asarray(np.asarray(light_dir, dtype))
+    # frame over all kinds' bounds
+    cmid = scene.cyl_base + 0.5 * scene.cyl_axis
+    clen = jnp.linalg.norm(scene.cyl_axis, axis=-1)
+    cr = jnp.where(scene.cyl_radius > 0, 0.5 * clen + scene.cyl_radius, -1.0)
+    allc = jnp.concatenate([scene.sph_center, cmid, scene.ring_center], axis=0)
+    allr = jnp.concatenate([scene.sph_radius, cr, scene.ring_rout], axis=0)
+    e1, e2, umin, vmin, extent = _light_frame(allc, allr, L)
+    inv_cell = grid / extent
+    out = {}
+    for kind in ("sph", "cyl", "ring"):
+        centers, radii, nlive = _prim_bounds(scene, kind)
+        if nlive == 0:
+            out[kind] = None
+            continue
+        x0, y0, sw, sh = _light_spans(centers, radii, e1, e2, umin, vmin, inv_cell, grid)
+        kb = _build_kind(x0, y0, sw, sh, grid, grid * grid)
+        cand, keys = _sort_light_cells(kb.cand, centers, radii, L)
+        out[kind] = LightKind(cand, keys, kb.count)
+    return LightBins(
+        out["sph"], out["cyl"], out["ring"], L, e1, e2,
+        jnp.stack([umin, vmin]), inv_cell, grid,
+    )
+
+
+@jax.jit
+def _sort_light_cells(cand, centers, radii, L):
+    """Sort each cell's candidates ascending by far-depth key c.L + r.
+
+    A shadow ray starting at depth tau only needs the suffix with key > tau;
+    lit (light-side) origins get a near-empty suffix."""
+    idx = jnp.maximum(cand, 0)
+    key = (centers @ L) + radii
+    k = jnp.where(cand >= 0, key[idx], BIG_DEPTH)
+    order = jnp.argsort(k, axis=1)
+    return jnp.take_along_axis(cand, order, axis=1), jnp.take_along_axis(k, order, axis=1)

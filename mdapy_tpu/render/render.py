@@ -95,6 +95,10 @@ class TachyonRender:
             background=bg[:3],
         )
         self._seed = int(seed)
+        # tile-binned fast path (exact) — disable to force the brute tracer
+        self.use_tiling = True
+        # Pallas VMEM closest-hit kernel on the tiled path (opaque, no AO)
+        self.use_pallas = backend != "cpu"
 
     @property
     def backend(self) -> str:
@@ -177,13 +181,71 @@ class TachyonRender:
         frame = camera_frame(camera, width, height)
         devices = jax.devices("cpu") if self._backend == "cpu" else jax.devices()
         with jax.default_device(devices[0]):
-            img_f = render_image(
-                jax.tree.map(lambda a: np.asarray(a, dtype), scene),
-                frame["origin"], frame["lowleft"], frame["iplaneright"],
-                frame["iplaneup"], frame["view"], frame["light_dir"],
-                cfg, int(width), int(height), bool(frame["perspective"]),
-                self._seed,
-            )
+            scene = jax.tree.map(lambda a: np.asarray(a, dtype), scene)
+            if cfg.ao_enabled or not self.use_tiling:
+                img_f = render_image(
+                    scene,
+                    frame["origin"], frame["lowleft"], frame["iplaneright"],
+                    frame["iplaneup"], frame["view"], frame["light_dir"],
+                    cfg, int(width), int(height), bool(frame["perspective"]),
+                    self._seed,
+                )
+            else:
+                from .accel import build_light_bins, build_screen_bins
+                from .tracer_tiled import render_image_pallas, render_image_tiled
+
+                # cache acceleration structures across renders of the same
+                # scene/camera/size (steady-state frames rebuild nothing)
+                cache_key = (
+                    positions.tobytes(), colors.tobytes(), radii.tobytes(),
+                    None if bond_edges is None else bond_edges.tobytes(),
+                    None if box_edges is None else box_edges.tobytes(),
+                    repr(camera.__dict__), width, height,
+                )
+                import hashlib
+
+                cache_key = hashlib.sha1(repr(cache_key).encode()).hexdigest()
+                if getattr(self, "_accel_key", None) == cache_key:
+                    bins, lb, self._chunk_data_cached = self._accel_cache
+                else:
+                    bins = build_screen_bins(scene, frame, int(width), int(height))
+                    lb = build_light_bins(scene, frame["light_dir"].astype(dtype))
+                    self._chunk_data_cached = None
+                    self._accel_cache = (bins, lb, None)
+                    self._accel_key = cache_key
+                use_pallas = (
+                    self.use_pallas
+                    and not cfg.transparency
+                    and bins.sph_chunks is not None
+                )
+                if use_pallas:
+                    from .pallas_kernels import gather_chunk_data
+
+                    if self._chunk_data_cached is not None:
+                        chunk_data = self._chunk_data_cached
+                    else:
+                        chunk_data = gather_chunk_data(
+                            bins.sph_chunks, scene.sph_center,
+                            scene.sph_radius, scene.sph_color,
+                        )
+                        self._chunk_data_cached = chunk_data
+                        self._accel_cache = (bins, lb, chunk_data)
+                    img_f = render_image_pallas(
+                        scene, bins, chunk_data, lb,
+                        frame["origin"], frame["lowleft"], frame["iplaneright"],
+                        frame["iplaneup"], frame["view"], frame["light_dir"],
+                        cfg, int(width), int(height), bool(frame["perspective"]),
+                        self._seed, bins.tile_px, bins.tiles_x, bins.tiles_y,
+                        interpret=(self._backend == "cpu"),
+                    )
+                else:
+                    img_f = render_image_tiled(
+                        scene, bins, lb,
+                        frame["origin"], frame["lowleft"], frame["iplaneright"],
+                        frame["iplaneup"], frame["view"], frame["light_dir"],
+                        cfg, int(width), int(height), bool(frame["perspective"]),
+                        self._seed, bins.tile_px, bins.tiles_x, bins.tiles_y,
+                    )
             img_f = np.asarray(img_f)
 
         img = np.empty((height, width, 4), dtype=np.uint8)
