@@ -1,0 +1,100 @@
+"""Benchmark: renderer ray throughput on a 1M-atom scene (north-star metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Scene: ~1M-atom FCC block (the polycrystal generator exists but a dense block
+stresses the tracer identically), 1920x1080, 12 AA samples + shadows
+(13 rays * 2 per pixel), no AO (AO acceleration pass is tracked separately).
+vs_baseline = our rays/s divided by the reference CPU Tachyon engine's rays/s
+measured on this machine with the same scene (golden driver, smaller raster —
+CPU rays/s is resolution-independent to first order).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def build_scene(n_cells: int):
+    a = 3.615
+    frac = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.mgrid[0:n_cells, 0:n_cells, 0:n_cells].reshape(3, -1).T
+    pos = (frac[None] + cells[:, None]).reshape(-1, 3) * a
+    colors = np.tile(np.array([[0.78, 0.5, 0.2, 1.0]], np.float32), (len(pos), 1))
+    radii = np.full(len(pos), 1.28, np.float32)
+    return pos, colors, radii
+
+
+def measure_reference(pos, colors, radii, cam, width=384, height=216, aa=2):
+    """Reference CPU Tachyon rays/s via the golden driver (built from the
+    read-only reference sources; run only, never copied)."""
+    gdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "golden_tachyon")
+    driver = os.path.join(gdir, "build", "golden_driver")
+    if not os.path.exists(driver):
+        try:
+            subprocess.run(["bash", os.path.join(gdir, "build.sh")],
+                           check=True, capture_output=True, timeout=600)
+        except Exception:
+            return None
+    sys.path.insert(0, gdir)
+    try:
+        from golden import render_golden
+    except Exception:
+        return None
+    t0 = time.time()
+    render_golden(pos, colors, radii, cam, width=width, height=height,
+                  aa=True, aa_samples=aa, ao=False, shadows=True)
+    dt = time.time() - t0
+    rays = width * height * (aa + 1) * 2
+    return rays / dt
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    import mdapy_tpu as mp
+
+    n_cells = int(os.environ.get("BENCH_CELLS", "63"))  # 63^3*4 = 1,000,188
+    width, height = 1920, 1080
+    pos, colors, radii = build_scene(n_cells)
+    cam = mp.preset_camera("perspective", pos, max_radius=float(radii.max()))
+
+    ren = mp.TachyonRender(backend="tpu", ao=False)
+    # warmup (compiles + accel build)
+    ren.render(pos, colors, radii, camera=cam, width=width, height=height)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        ren.render(pos, colors, radii, camera=cam, width=width, height=height)
+        times.append(time.time() - t0)
+    dt = min(times)
+    samples = 13  # 12 AA + 1
+    rays = width * height * samples * 2  # primary + shadow per sample
+    ours = rays / dt
+
+    ref = None
+    try:
+        ref = measure_reference(pos, colors, radii, cam)
+    except Exception:
+        ref = None
+    vs = (ours / ref) if ref else 0.0
+
+    print(json.dumps({
+        "metric": "render_rays_per_s_1M_atoms_1080p",
+        "value": round(ours / 1e9, 4),
+        "unit": "Grays/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -205,8 +205,8 @@ def neighbor_list_fixed(
         ok = valid & (d2 <= rc * rc)
         if exclude_self:
             ok = ok & (cand != qidx[:, None])
-        else:
-            ok = ok & (d2 > 1e-20)
+        # exclude_self=False keeps zero-distance hits — needed for queries
+        # against a distinct candidate set (e.g. Wigner-Seitz site assignment)
         cnt = jnp.sum(ok, axis=1).astype(jnp.int32)
         big = jnp.array(jnp.finfo(d2.dtype).max, d2.dtype)
         d2m = jnp.where(ok, d2, big)

@@ -95,8 +95,8 @@ def _kernel(
 
         def body(carry):
             c, best_t, best_id = carry
-            slot = jax.lax.rem(c, 2)
-            nxt = jax.lax.rem(c + 1, 2)
+            slot = jax.lax.rem(c, jnp.int32(2))
+            nxt = jax.lax.rem(c + jnp.int32(1), jnp.int32(2))
 
             @pl.when(c + 1 < nchunks)
             def _():
@@ -129,7 +129,7 @@ def _kernel(
 
         init = (
             jnp.int32(0),
-            jnp.full((RB, 1), BIG, jnp.float32),
+            jnp.full((RB, 1), BIG, o_ref.dtype),
             jnp.full((RB, 1), -1, jnp.int32),
         )
         cf, best_t, best_id = jax.lax.while_loop(cond, body, init)
@@ -137,7 +137,7 @@ def _kernel(
         # drain the in-flight DMA the loop started but never consumed
         @pl.when((cf < nchunks) & ((cf > 0) | first_needed))
         def _():
-            dma(jax.lax.rem(cf, 2), jnp.minimum(cf, nchunks - 1)).wait()
+            dma(jax.lax.rem(cf, jnp.int32(2)), jnp.minimum(cf, nchunks - 1)).wait()
 
         t_out[k, :] = best_t[:, 0]
         id_out[k, :] = best_id[:, 0]

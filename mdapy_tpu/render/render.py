@@ -230,14 +230,35 @@ class TachyonRender:
                         )
                         self._chunk_data_cached = chunk_data
                         self._accel_cache = (bins, lb, chunk_data)
-                    img_f = render_image_pallas(
-                        scene, bins, chunk_data, lb,
-                        frame["origin"], frame["lowleft"], frame["iplaneright"],
-                        frame["iplaneup"], frame["view"], frame["light_dir"],
-                        cfg, int(width), int(height), bool(frame["perspective"]),
-                        self._seed, bins.tile_px, bins.tiles_x, bins.tiles_y,
-                        interpret=(self._backend == "cpu"),
-                    )
+                    # render in horizontal tile bands to bound HBM usage
+                    band_rows = max(1, 2048 // bins.tiles_x)
+                    bands = []
+                    for ty0 in range(0, bins.tiles_y, band_rows):
+                        ty1 = min(bins.tiles_y, ty0 + band_rows)
+                        b0, b1 = ty0 * bins.tiles_x, ty1 * bins.tiles_x
+                        from .accel import KindBins, ScreenBins as SB
+
+                        sub = SB(
+                            bins.sph_chunks[b0:b1], bins.sph_zmin[b0:b1],
+                            None if bins.cyl is None else KindBins(
+                                bins.cyl.cand[b0:b1], bins.cyl.count[b0:b1]),
+                            None if bins.ring is None else KindBins(
+                                bins.ring.cand[b0:b1], bins.ring.count[b0:b1]),
+                            bins.tiles_x, ty1 - ty0, bins.tile_px,
+                        )
+                        band_img = render_image_pallas(
+                            scene, sub, chunk_data[b0:b1], lb,
+                            frame["origin"], frame["lowleft"], frame["iplaneright"],
+                            frame["iplaneup"], frame["view"], frame["light_dir"],
+                            cfg, int(width),
+                            (ty1 - ty0) * bins.tile_px,
+                            bool(frame["perspective"]), self._seed,
+                            bins.tile_px, bins.tiles_x, ty1 - ty0,
+                            interpret=(self._backend == "cpu"),
+                            ty_offset=ty0, do_flip=False,
+                        )
+                        bands.append(np.asarray(band_img))
+                    img_f = np.concatenate(bands, axis=0)[:height][::-1]
                 else:
                     img_f = render_image_tiled(
                         scene, bins, lb,

@@ -459,7 +459,7 @@ def render_image_tiled(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "width", "height", "perspective", "tile_px", "tiles_x", "tiles_y", "interpret",
+        "cfg", "width", "height", "perspective", "tile_px", "tiles_x", "tiles_y", "interpret", "do_flip",
     ),
 )
 def render_image_pallas(
@@ -472,10 +472,15 @@ def render_image_pallas(
     width: int, height: int, perspective: bool, seed,
     tile_px: int, tiles_x: int, tiles_y: int,
     interpret: bool = False,
+    ty_offset=0,
+    do_flip: bool = True,
 ):
     """Opaque-scene renderer: Pallas chunked closest hit + global shading.
 
-    Transparency and AO fall back to the XLA paths."""
+    Transparency and AO fall back to the XLA paths.  For large frames the
+    front-end calls this per horizontal tile band (``ty_offset`` shifts the
+    pixel rows; ``do_flip=False`` defers the vertical flip to assembly) so
+    per-frame intermediates stay bounded."""
     from .pallas_kernels import closest_hit_spheres_tiles
 
     assert not cfg.ao_enabled and not cfg.transparency
@@ -503,7 +508,7 @@ def render_image_pallas(
     sub_y = jnp.repeat(ix, tile_px)
     tid = jnp.arange(nb, dtype=jnp.int32)
     tx = (tid % tiles_x).astype(dtype)
-    ty = (tid // tiles_x).astype(dtype)
+    ty = (tid // tiles_x).astype(dtype) + jnp.asarray(ty_offset, dtype)
     px0 = tx[:, None] * tile_px + sub_x[None, :] + off      # (nb, P)
     py0 = ty[:, None] * tile_px + sub_y[None, :] + off
     jit2 = jax.random.uniform(base_key, (nb, S, P, 2), dtype, minval=-0.5, maxval=0.5)
@@ -649,4 +654,4 @@ def render_image_pallas(
     img = out.reshape(tiles_y, tiles_x, tile_px, tile_px, 3)
     img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tile_px, tiles_x * tile_px, 3)
     img = img[:height, :width]
-    return img[::-1]
+    return img[::-1] if do_flip else img
