@@ -160,3 +160,42 @@ def test_entropy_matches_reference_formula():
     assert np.all(np.isfinite(e))
     # perfect crystal has strongly negative pair entropy
     assert e.mean() < -1.0
+
+
+@pytest.mark.parametrize("name,d", _fixtures("voronoi_volume"), ids=lambda v: v if isinstance(v, str) else "")
+def test_voronoi(name, d):
+    from mdapy_tpu.analysis.voronoi import VoronoiAnalysis
+
+    v = VoronoiAnalysis(d["pos"], _box(d)).compute()
+    assert np.allclose(v.volume, d["voronoi_volume"], atol=1e-6)
+    assert np.allclose(v.cavity_radius, d["voronoi_cavity_radius"], atol=1e-6)
+    assert np.array_equal(v.neighbor_number, d["voronoi_coord"])
+
+
+def test_chill_plus_fixture():
+    from mdapy_tpu.analysis.chill_plus import ChillPlus
+
+    path = os.path.join(BASE, "chill_water.npz")
+    if not os.path.exists(path):
+        pytest.skip("fixture unavailable")
+    d = np.load(path)
+    c = ChillPlus(d["pos"], _box(d), rc=float(d["chill_plus_cutoff"])).compute()
+    assert np.array_equal(c.chill_plus, d["chill_plus"])
+
+
+def test_structure_factor_both_modes():
+    from mdapy_tpu.analysis.structure_factor import StructureFactor
+
+    d = _misc("structure_factor")
+    pts = d["points"]
+    types = np.array([1] * (len(pts) // 2) + [2] * (len(pts) - len(pts) // 2))
+    for mode in ("direct", "debye"):
+        sf = StructureFactor(
+            pts, Box(10.0, origin=[-5, -5, -5]),
+            k_min=float(d["k_min"]), k_max=float(d["k_max"]),
+            nbins=int(d["nbins"]), cal_partial=True, mode=mode, types=types,
+        ).compute()
+        assert np.allclose(sf.Sk, d[f"{mode}_all"], atol=1e-8, equal_nan=True)
+        assert np.allclose(sf.Sk_partial[(1, 1)], d[f"{mode}_11"], atol=1e-8, equal_nan=True)
+        assert np.allclose(sf.Sk_partial[(1, 2)], d[f"{mode}_12"], atol=1e-8, equal_nan=True)
+        assert np.allclose(sf.Sk_partial[(2, 2)], d[f"{mode}_22"], atol=1e-8, equal_nan=True)
