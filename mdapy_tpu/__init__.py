@@ -64,9 +64,9 @@ _LAZY = {
     "NEP": (".potentials.nep", "NEP"),
     "FIRE": (".potentials.minimizer", "FIRE"),
     "get_elastic_constant": (".potentials.elastic", "get_elastic_constant"),
-    "Trajectory": (".trajectory.trajectory", "Trajectory"),
-    "XYZTrajectory": (".trajectory.trajectory", "XYZTrajectory"),
-    "unwrap_trajectory": (".trajectory.unwrap", "unwrap_trajectory"),
+    "Trajectory": (".io.trajectory", "Trajectory"),
+    "XYZTrajectory": (".io.trajectory", "XYZTrajectory"),
+    "unwrap_trajectory": (".io.trajectory", "unwrap_trajectory"),
     "TachyonRender": (".render.render", "TachyonRender"),
     "CameraParams": (".render.render", "CameraParams"),
     "preset_camera": (".render.camera", "preset_camera"),

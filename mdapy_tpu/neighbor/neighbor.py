@@ -78,8 +78,14 @@ def neighbor_search(
     order, _, cell_start, cell_count, max_occ = cl.cell_occupancy(
         posj, mj, oj, bj, ncells
     )
-    M = int(max_occ)
+    # bucket data-dependent sizes (max cell occupancy, neighbor capacity) up
+    # to multiples of 4/8 so repeated calls with slightly-moved atoms (e.g.
+    # every FIRE step) hit the jit cache instead of recompiling
+    M = -4 * (-int(max_occ) // 4)
     ntotal = pos_c.shape[0]
+    m_key = ("M", ntotal, float(rc))
+    M = max(M, _CAP_HIGH_WATER.get(m_key, 0))
+    _CAP_HIGH_WATER[m_key] = M
     chunk = min(65536, _next_pow2(ntotal))
 
     if max_neigh is None:
@@ -89,6 +95,15 @@ def neighbor_search(
     else:
         cap = min(max_neigh, 27 * M)
     cap = max(cap, 1)
+    cap = -8 * (-cap // 8)
+    # sticky high-water mark: once a (ntotal, rc) combination has needed a
+    # larger capacity, keep using it so repeated calls (minimization steps)
+    # stay on one compiled shape instead of flip-flopping across the
+    # estimate/overflow boundary
+    hw_key = (ntotal, n, float(rc), exclude_self)
+    cap = max(cap, _CAP_HIGH_WATER.get(hw_key, 0))
+    if not user_capped:
+        _CAP_HIGH_WATER[hw_key] = cap
 
     # queries: only original atoms (first n rows of pos_c by construction)
     def run(capacity):
@@ -103,13 +118,16 @@ def neighbor_search(
         return verlet, dist, cnt, int(max_cnt)
 
     verlet, dist, cnt, max_cnt = run(cap)
+    if user_capped and max_cnt > max_neigh:
+        raise ValueError(
+            f"max_neigh={max_neigh} is too small: an atom has {max_cnt} "
+            f"neighbors within rc={rc}. Increase max_neigh."
+        )
     if max_cnt > cap:
-        if user_capped and max_cnt > max_neigh:
-            raise ValueError(
-                f"max_neigh={max_neigh} is too small: an atom has {max_cnt} "
-                f"neighbors within rc={rc}. Increase max_neigh."
-            )
-        verlet, dist, cnt, max_cnt = run(max_cnt)
+        cap = -8 * (-(max_cnt + 4) // 8)
+        if not user_capped:
+            _CAP_HIGH_WATER[hw_key] = max(cap, _CAP_HIGH_WATER.get(hw_key, 0))
+        verlet, dist, cnt, max_cnt = run(cap)
 
     verlet = np.asarray(verlet)
     dist = np.asarray(dist)
@@ -121,6 +139,10 @@ def neighbor_search(
 
 def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1)).bit_length()
+
+
+# (ntotal, n, rc, exclude_self) -> largest auto capacity used so far
+_CAP_HIGH_WATER: dict = {}
 
 
 class Neighbor:
