@@ -194,6 +194,7 @@ def write_dump(
     box: Box,
     timestep: int = 0,
     compress: bool = False,
+    mode: str = "w",
 ) -> None:
     """Write a LAMMPS dump file. Parity: load_save.py:1911."""
     n = frame.nrows
@@ -234,10 +235,10 @@ def write_dump(
     df.to_csv(out, sep=" ", header=False, index=False)
     data = out.getvalue()
     if compress or str(filename).endswith(".gz"):
-        with gzip.open(filename, "wt") as f:
+        with gzip.open(filename, mode + "t" if "t" not in mode else mode) as f:
             f.write(data)
     else:
-        with open(filename, "w") as f:
+        with open(filename, mode) as f:
             f.write(data)
 
 
@@ -291,15 +292,82 @@ def read_xyz(filename: str) -> Tuple[AtomFrame, Box, dict]:
     return parse_xyz_frame(text)
 
 
+def _xyz_properties_schema(props: str) -> Tuple[List[str], List[str]]:
+    """Expand an extended-XYZ Properties string to column names + type chars.
+
+    Aliases: pos -> x/y/z, velo -> vx/vy/vz, force(s) -> fx/fy/fz, and
+    GPUMD's unwrapped_position -> xu/yu/zu (so unwrap_trajectory picks
+    the direct-rename branch; reference load_save.py Properties parse).
+    """
+    toks = props.split(":")
+    names: List[str] = []
+    dtypes: List[str] = []
+    for j in range(0, len(toks), 3):
+        pname, ptype, pcount = toks[j], toks[j + 1], int(toks[j + 2])
+        if pcount == 1:
+            names.append(pname)
+            dtypes.append(ptype)
+        else:
+            comps = [f"{pname}_{c}" for c in range(pcount)]
+            if pcount == 3:
+                if pname == "pos":
+                    comps = ["x", "y", "z"]
+                elif pname == "velo":
+                    comps = ["vx", "vy", "vz"]
+                elif pname in ("force", "forces"):
+                    comps = ["fx", "fy", "fz"]
+                elif pname == "unwrapped_position":
+                    comps = ["xu", "yu", "zu"]
+            names.extend(comps)
+            dtypes.extend([ptype] * pcount)
+    return names, dtypes
+
+
+def _xyz_parse_body(
+    body: List[str], names: List[str], dtypes: List[str]
+) -> Dict[str, np.ndarray]:
+    cols = _parse_table(body, names)
+    for k, tchar in zip(names, dtypes):
+        if tchar == "I":
+            cols[k] = cols[k].astype(np.int32)
+        elif tchar == "L":
+            cols[k] = np.array(
+                [str(v) in ("T", "True", "1") for v in cols[k]], dtype=bool
+            )
+    if "species" in cols:
+        cols["element"] = cols.pop("species").astype(str)
+    return cols
+
+
 def parse_xyz_frame(lines: List[str], start: int = 0) -> Tuple[AtomFrame, Box, dict]:
     natoms = int(lines[start].split()[0])
     comment = lines[start + 1] if start + 1 < len(lines) else ""
     info = _parse_xyz_comment(comment)
     global_info = {}
-    if "Lattice" in info or "lattice" in info:
+    body = lines[start + 2 : start + 2 + natoms]
+    # a bare "Lattice"/"Properties" word in a free-text classical comment is
+    # not a header: require a parseable 9-float lattice / ':'-separated schema
+    lat_str = info.get("Lattice", info.get("lattice"))
+    has_cell = (
+        lat_str is not None
+        and np.fromstring(str(lat_str), sep=" ").size == 9
+    )
+    has_props = ":" in str(info.get("Properties", ""))
+    if has_cell or has_props:
+        props = str(info.get("Properties", "species:S:1:pos:R:3"))
+        names, dtypes = _xyz_properties_schema(props)
+        cols = _xyz_parse_body(body, names, dtypes)
+        for k, v in info.items():
+            if k not in ("Lattice", "lattice", "Properties", "pbc", "Origin"):
+                global_info[k] = _maybe_number(v)
+    else:
+        # classical xyz: element x y z, free boundary box padded around atoms
+        cols = _parse_table(body, ["element", "x", "y", "z"])
+        cols["element"] = cols["element"].astype(str)
+    if has_cell:
+        # Lattice="ax ay az bx by bz cx cy cz" (row-vector convention)
         lat = np.fromstring(str(info.get("Lattice", info.get("lattice"))), sep=" ")
         matrix = lat.reshape(3, 3)
-        # extended xyz is column-vector convention? No: Lattice="ax ay az bx by bz cx cy cz"
         boundary = [1, 1, 1]
         if "pbc" in info:
             boundary = [1 if t in ("T", "True", "1") else 0 for t in str(info["pbc"]).split()]
@@ -307,45 +375,7 @@ def parse_xyz_frame(lines: List[str], start: int = 0) -> Tuple[AtomFrame, Box, d
         if "Origin" in info:
             origin = np.fromstring(str(info["Origin"]), sep=" ")
         box = Box(matrix, boundary, origin)
-        props = str(info.get("Properties", "species:S:1:pos:R:3"))
-        toks = props.split(":")
-        names, dtypes = [], []
-        for j in range(0, len(toks), 3):
-            pname, ptype, pcount = toks[j], toks[j + 1], int(toks[j + 2])
-            if pcount == 1:
-                names.append(pname)
-                dtypes.append(ptype)
-            else:
-                comps = (
-                    ["x", "y", "z"]
-                    if pname == "pos" and pcount == 3
-                    else [f"{pname}_{c}" for c in range(pcount)]
-                )
-                if pname == "velo" and pcount == 3:
-                    comps = ["vx", "vy", "vz"]
-                if pname in ("force", "forces") and pcount == 3:
-                    comps = ["fx", "fy", "fz"]
-                names.extend(comps)
-                dtypes.extend([ptype] * pcount)
-        body = lines[start + 2 : start + 2 + natoms]
-        cols = _parse_table(body, names)
-        for k, tchar in zip(names, dtypes):
-            if tchar == "I":
-                cols[k] = cols[k].astype(np.int32)
-            elif tchar == "L":
-                cols[k] = np.array(
-                    [str(v) in ("T", "True", "1") for v in cols[k]], dtype=bool
-                )
-        if "species" in cols:
-            cols["element"] = cols.pop("species").astype(str)
-        for k, v in info.items():
-            if k not in ("Lattice", "lattice", "Properties", "pbc", "Origin"):
-                global_info[k] = _maybe_number(v)
     else:
-        # classical xyz: element x y z, free boundary box padded around atoms
-        body = lines[start + 2 : start + 2 + natoms]
-        cols = _parse_table(body, ["element", "x", "y", "z"])
-        cols["element"] = cols["element"].astype(str)
         pos = np.column_stack([cols["x"], cols["y"], cols["z"]])
         lo, hi = pos.min(0) - 5.0, pos.max(0) + 5.0
         box = Box(np.diag(hi - lo), [0, 0, 0], lo)
