@@ -56,7 +56,7 @@ _LAZY = {
     "build_hea": (".build.lattice", "build_hea"),
     "LatticeRegistry": (".build.lattice", "LatticeRegistry"),
     "CreatePolycrystal": (".build.polycrystal", "CreatePolycrystal"),
-    "orthogonal_cell": (".build.orthogonal", "orthogonal_cell"),
+    "orthogonal_cell": (".build.orthogonal_cell", "orthogonal_cell"),
     "SQS": (".build.sqs", "SQS"),
     "CalculatorMP": (".potentials.calculator", "CalculatorMP"),
     "EAM": (".potentials.eam", "EAM"),
