@@ -58,6 +58,7 @@ _LAZY = {
     "CreatePolycrystal": (".build.polycrystal", "CreatePolycrystal"),
     "orthogonal_cell": (".build.orthogonal_cell", "orthogonal_cell"),
     "SQS": (".build.sqs", "SQS"),
+    "BondStiffness": (".potentials.bond_stiffness", "BondStiffness"),
     "CalculatorMP": (".potentials.calculator", "CalculatorMP"),
     "EAM": (".potentials.eam", "EAM"),
     "EAMAverage": (".potentials.eam", "EAMAverage"),

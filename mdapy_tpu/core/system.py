@@ -389,6 +389,55 @@ class System:
     # Each cal_* mirrors the reference signature (SURVEY.md Appendix A) and
     # attaches its result columns onto self.data.
 
+    def cal_polyhedral_template_matching(
+        self,
+        structure: str = "fcc-hcp-bcc",
+        rmsd_threshold: float = 0.1,
+        return_ordering: bool = False,
+        return_rmsd: bool = False,
+        return_atomic_distance: bool = False,
+        return_orientation: bool = False,
+        identify_fcc_planar_faults: bool = False,
+        identify_esf: bool = True,
+    ) -> np.ndarray:
+        """PTM structure types -> self.data['ptm'] (reference system.py:1863).
+
+        Codes: 0=Other 1=FCC 2=HCP 3=BCC 4=ICO 5=SC 6=DCUB 7=DHEX 8=Graphene.
+        """
+        from ..analysis.ptm import PolyhedralTemplateMatching
+
+        ptm = PolyhedralTemplateMatching(
+            structure, self.pos, self._box, rmsd_threshold,
+            types=self._data["type"],
+        )
+        ptm.compute()
+        out = ptm.output
+        self._data["ptm"] = out[:, 0].astype(np.int32)
+        if return_ordering:
+            self._data["ordering"] = out[:, 1]
+        if return_rmsd:
+            self._data["rmsd"] = out[:, 2]
+        if return_atomic_distance:
+            self._data["interatomic_distance"] = out[:, 3]
+        if return_orientation:
+            self._data["qx"] = out[:, 5]
+            self._data["qy"] = out[:, 6]
+            self._data["qz"] = out[:, 7]
+            self._data["qw"] = out[:, 4]
+        if identify_fcc_planar_faults:
+            from ..analysis.identify_fcc_planar_faults import (
+                IdentifyFccPlanarFaults,
+            )
+
+            ifpt = IdentifyFccPlanarFaults(
+                out[:, 0].astype(np.int32),
+                np.ascontiguousarray(ptm.ptm_indices[:, 1:13]),
+                identify_esf,
+            )
+            ifpt.compute()
+            self._data["pft"] = ifpt.fault_types[: self.N]
+        return self._data["ptm"]
+
     def cal_centro_symmetry_parameter(self, N: int = 12) -> np.ndarray:
         from ..analysis.centro_symmetry_parameter import CentroSymmetryParameter
 
@@ -597,37 +646,6 @@ class System:
         self._data["chill_plus"] = calc.chill_plus
         return calc.chill_plus
 
-    def cal_polyhedral_template_matching(
-        self,
-        structure: str = "fcc-hcp-bcc",
-        rmsd_threshold: float = 0.1,
-        return_rmsd: bool = False,
-        return_ordering: bool = False,
-        return_atomic_distance: bool = False,
-        return_orientation: bool = False,
-        identify_fcc_planar_faults: bool = False,
-        identify_esf: bool = True,
-    ) -> np.ndarray:
-        from ..analysis.polyhedral_template_matching import PolyhedralTemplateMatching
-
-        calc = PolyhedralTemplateMatching(
-            self.pos, self._box, structure, rmsd_threshold
-        )
-        calc.compute()
-        self._data["ptm"] = calc.ptm
-        if return_rmsd:
-            self._data["rmsd"] = calc.rmsd
-        if return_atomic_distance:
-            self._data["interatomic_distance"] = calc.interatomic_distance
-        if identify_fcc_planar_faults:
-            from ..analysis.identify_fcc_planar_faults import IdentifyFCCPlanarFaults
-
-            pft = IdentifyFCCPlanarFaults(
-                self.pos, self._box, calc.ptm, identify_esf=identify_esf
-            )
-            pft.compute()
-            self._data["pft"] = pft.pft
-        return calc.ptm
 
     def cal_bond_analysis(
         self, rc: float = 3.0, nbin: int = 100, max_neigh: Optional[int] = None
