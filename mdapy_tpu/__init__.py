@@ -59,6 +59,34 @@ _LAZY = {
     "orthogonal_cell": (".build.orthogonal_cell", "orthogonal_cell"),
     "SQS": (".build.sqs", "SQS"),
     "BondStiffness": (".potentials.bond_stiffness", "BondStiffness"),
+    "EAMGenerator": (".potentials.eam", "EAMGenerator"),
+    "Phonon": (".analysis.phonon", "Phonon"),
+    "LammpsPotential": (".potentials.lammps", "LammpsPotential"),
+    "LammpsRunner": (".potentials.lammps", "LammpsRunner"),
+    "NEP4ASE": (".potentials.nep4ase", "NEP4ASE"),
+    "MDElastic": (".potentials.md_elastic", "MDElastic"),
+    "QHAElastic": (".potentials.qha_elastic", "QHAElastic"),
+    "View": (".render.visualize", "View"),
+    "set_pka": (".utils.tool_function", "set_pka"),
+    "generate_velocity": (".utils.tool_function", "generate_velocity"),
+    "split_xyz": (".utils.tool_function", "split_xyz"),
+    "rmse": (".utils.potential_tool", "rmse"),
+    "read_thermo": (".utils.potential_tool", "read_thermo"),
+    "plot_nep_train": (".utils.potential_tool", "plot_nep_train"),
+    "get_sfe_fcc": (".utils.potential_tool", "get_sfe_fcc"),
+    "get_average_sfe_fcc_hea": (".utils.potential_tool", "get_average_sfe_fcc_hea"),
+    "get_eos": (".utils.potential_tool", "get_eos"),
+    "PCA": (".utils.potential_tool", "PCA"),
+    "fps_sample": (".utils.potential_tool", "fps_sample"),
+    "cfg2xyz": (".utils.potential_tool", "cfg2xyz"),
+    "read_OUTCAR": (".utils.potential_tool", "read_OUTCAR"),
+    "outcar2xyz": (".utils.potential_tool", "outcar2xyz"),
+    "outcars2xyz": (".utils.potential_tool", "outcars2xyz"),
+    "run_gpumd": (".utils.potential_tool", "run_gpumd"),
+    "compress_file": (".utils.pigz", "compress_file"),
+    "pltset": (".utils.plotset", "pltset"),
+    "set_figure": (".utils.plotset", "set_figure"),
+    "save_figure": (".utils.plotset", "save_figure"),
     "CalculatorMP": (".potentials.calculator", "CalculatorMP"),
     "EAM": (".potentials.eam", "EAM"),
     "EAMAverage": (".potentials.eam", "EAMAverage"),

@@ -352,13 +352,14 @@ def parse_xyz_frame(lines: List[str], start: int = 0) -> Tuple[AtomFrame, Box, d
         lat_str is not None
         and np.fromstring(str(lat_str), sep=" ").size == 9
     )
-    has_props = ":" in str(info.get("Properties", ""))
+    props_val = info.get("Properties", info.get("properties"))
+    has_props = ":" in str(props_val or "")
     if has_cell or has_props:
-        props = str(info.get("Properties", "species:S:1:pos:R:3"))
+        props = str(props_val or "species:S:1:pos:R:3")
         names, dtypes = _xyz_properties_schema(props)
         cols = _xyz_parse_body(body, names, dtypes)
         for k, v in info.items():
-            if k not in ("Lattice", "lattice", "Properties", "pbc", "Origin"):
+            if k not in ("Lattice", "lattice", "Properties", "properties", "pbc", "Origin"):
                 global_info[k] = _maybe_number(v)
     else:
         # classical xyz: element x y z, free boundary box padded around atoms

@@ -165,8 +165,9 @@ class Trajectory:
             natoms = int(lines[off].split()[0])
             comment = lines[off + 1] if off + 1 < len(lines) else ""
             info = _parse_xyz_comment(comment)
-            if _has_cell(info) or ":" in str(info.get("Properties", "")):
-                key = str(info.get("Properties", "species:S:1:pos:R:3"))
+            pv = info.get("Properties", info.get("properties"))
+            if _has_cell(info) or ":" in str(pv or ""):
+                key = str(pv or "species:S:1:pos:R:3")
             else:
                 key = None
             metas.append((off, natoms, key))
@@ -216,7 +217,7 @@ class Trajectory:
                 from .load_save import _maybe_number
 
                 for kk, vv in info.items():
-                    if kk not in ("Lattice", "lattice", "Properties", "pbc", "Origin"):
+                    if kk not in ("Lattice", "lattice", "Properties", "properties", "pbc", "Origin"):
                         ginfo[kk] = _maybe_number(vv)
             if _has_cell(info):
                 lat = np.fromstring(str(info.get("Lattice", info.get("lattice"))), sep=" ")

@@ -288,3 +288,137 @@ class EAMAverage(EAM):
         self._F_fp = lammps_spline_coeffs(self.F_rho)
         self._rho_fp = lammps_spline_coeffs(self.rho_r)
         self._z2r_fp = lammps_spline_coeffs(self._rphi_r)
+
+
+class EAMGenerator:
+    """Generate eam.alloy files with the Zhou-Johnson-Wadley parameterisation.
+
+    Parity: reference eam.py:697-1475 (EAMGenerator; functional forms of
+    Zhou, Johnson & Wadley, PRB 69, 144113 (2004)). Profiles are evaluated
+    on vectorised r/rho grids.
+    """
+
+    DEFAULT_NR = 2000
+    DEFAULT_NRHO = 2000
+    DEFAULT_RST = 0.5
+
+    def __init__(self, elements_list, output_filename=None,
+                 nr=DEFAULT_NR, nrho=DEFAULT_NRHO, rst=DEFAULT_RST):
+        from ._zjw04_params import ZJW04_PARAMS
+
+        for e in elements_list:
+            if e not in ZJW04_PARAMS:
+                raise ValueError(
+                    f"Element '{e}' is not supported. Supported elements: "
+                    f"{', '.join(ZJW04_PARAMS)}"
+                )
+        self.elements_list = list(elements_list)
+        self.n_elements = len(elements_list)
+        self.nr, self.nrho, self.rst = int(nr), int(nrho), float(rst)
+        self.output_filename = output_filename or (
+            "".join(elements_list) + ".eam.alloy"
+        )
+        p = np.array([ZJW04_PARAMS[e] for e in elements_list], dtype=np.float64)
+        (self.re, self.fe, self.rhoe, self.rhos, self.alpha, self.beta,
+         self.A, self.B, self.kappa, self.lam, self.Fi0, self.Fi1, self.Fi2,
+         self.Fi3, self.Fm0, self.Fm1, self.Fm2, self.Fm3, self.eta, self.Fn,
+         zahl, self.atomic_mass, self.Fm4, self.beta1, self.lam1,
+         rhol, rhoh) = p.T
+        self.atomic_number = zahl.astype(np.int32)
+        self.lattice_constant = np.sqrt(2.0) * self.re
+        self.rhoin = rhol * self.rhoe
+        self.rhoout = rhoh * self.rhoe
+        self.rc = np.sqrt(10.0) / 2.0 * self.lattice_constant.max()
+        self.dr = self.rc / (self.nr - 1.0)
+        self._tabulate()
+        self._write()
+
+    # ----- ZJW functional forms (vectorised over the r grid) -------------
+    def _f_density(self, it, r):
+        return (self.fe[it] * np.exp(-self.beta1[it] * (r / self.re[it] - 1.0))
+                / (1.0 + (r / self.re[it] - self.lam1[it]) ** 20))
+
+    def _phi_same(self, it, r):
+        x = r / self.re[it]
+        psi1 = self.A[it] * np.exp(-self.alpha[it] * (x - 1.0)) / (
+            1.0 + (x - self.kappa[it]) ** 20)
+        psi2 = self.B[it] * np.exp(-self.beta[it] * (x - 1.0)) / (
+            1.0 + (x - self.lam[it]) ** 20)
+        return psi1 - psi2
+
+    def _phi(self, it1, it2, r):
+        if it1 == it2:
+            return self._phi_same(it1, r)
+        fa, fb = self._f_density(it1, r), self._f_density(it2, r)
+        pa, pb = self._phi_same(it1, r), self._phi_same(it2, r)
+        return 0.5 * (fb / fa * pa + fa / fb * pb)
+
+    def _embed(self, it, rho):
+        Fm3 = np.where(rho < self.rhoe[it], self.Fm3[it], self.Fm4[it])
+        xin = rho / self.rhoin[it] - 1.0
+        xe = rho / self.rhoe[it] - 1.0
+        xs = rho / np.maximum(self.rhos[it], 1e-300)
+        inner = (self.Fi0[it] + self.Fi1[it] * xin + self.Fi2[it] * xin ** 2
+                 + self.Fi3[it] * xin ** 3)
+        mid = (self.Fm0[it] + self.Fm1[it] * xe + self.Fm2[it] * xe ** 2
+               + Fm3 * xe ** 3)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            outer = (self.Fn[it] * (1.0 - self.eta[it] * np.log(xs))
+                     * xs ** self.eta[it])
+        outer = np.where(np.isfinite(outer), outer, inner)
+        return np.where(rho < self.rhoin[it], inner,
+                        np.where(rho < self.rhoout[it], mid, outer))
+
+    def _tabulate(self):
+        nt = self.n_elements
+        r = np.maximum(np.arange(self.nr) * self.dr, self.rst)
+        self.rho_table = np.zeros((self.nr, nt))
+        self.rphi_table = np.zeros((self.nr, nt, nt))
+        for i1 in range(nt):
+            self.rho_table[:, i1] = self._f_density(i1, r)
+            for i2 in range(i1 + 1):
+                rphi = r * self._phi(i1, i2, r)
+                self.rphi_table[:, i1, i2] = rphi
+                self.rphi_table[:, i2, i1] = rphi
+        rhom = max(float(self.rho_table.max()), 2.0 * float(self.rhoe.max()),
+                   100.0)
+        self.drho = rhom / (self.nrho - 1.0)
+        rho_grid = np.arange(self.nrho) * self.drho
+        self.embedding = np.column_stack(
+            [self._embed(it, rho_grid) for it in range(nt)]
+        )
+
+    def _write(self):
+        import datetime
+
+        def dump(f, arr):
+            for idx, v in enumerate(arr):
+                if idx % 5 == 0:
+                    if idx > 0:
+                        f.write("\n")
+                    f.write(" ")
+                f.write(f"{v:.16E} ")
+            f.write("\n")
+
+        with open(self.output_filename, "w") as f:
+            f.write(f" eam/alloy {self.n_elements}")
+            for e in self.elements_list:
+                f.write(f" {e}")
+            f.write("\n Generated by mdapy_tpu EAMGenerator "
+                    f"({datetime.datetime.now():%Y-%m-%d %H:%M:%S})\n")
+            f.write(" CITATION: X. W. Zhou, R. A. Johnson, H. N. G. Wadley, "
+                    "Phys. Rev. B, 69, 144113 (2004)\n")
+            f.write(f"    {self.n_elements} ")
+            for e in self.elements_list:
+                f.write(f"{e} ")
+            f.write("\n")
+            f.write(f" {self.nrho} {self.drho:.16E} {self.nr} "
+                    f"{self.dr:.16E} {self.rc:.16E}\n")
+            for i in range(self.n_elements):
+                f.write(f" {self.atomic_number[i]} {self.atomic_mass[i]:.10f} "
+                        f"{self.lattice_constant[i]:.6f} fcc\n")
+                dump(f, self.embedding[:, i])
+                dump(f, self.rho_table[:, i])
+            for i in range(self.n_elements):
+                for j in range(i + 1):
+                    dump(f, self.rphi_table[:, i, j])
