@@ -84,6 +84,8 @@ _LAZY = {
     "outcars2xyz": (".utils.potential_tool", "outcars2xyz"),
     "run_gpumd": (".utils.potential_tool", "run_gpumd"),
     "compress_file": (".utils.pigz", "compress_file"),
+    "get_num_threads": (".utils.parallel", "get_num_threads"),
+    "Spline": (".utils.spline", "Spline"),
     "pltset": (".utils.plotset", "pltset"),
     "set_figure": (".utils.plotset", "set_figure"),
     "save_figure": (".utils.plotset", "save_figure"),
