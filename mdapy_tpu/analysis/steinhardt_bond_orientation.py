@@ -120,6 +120,8 @@ class SteinhardtBondOrientation:
         threshold: float = 0.7,
         n_bond: int = 7,
         max_neigh: Optional[int] = None,
+        a_face_area_threshold: float = -1.0,
+        r_face_area_threshold: float = -1.0,
         verlet_list=None,
         distance_list=None,
         neighbor_number=None,
@@ -140,6 +142,8 @@ class SteinhardtBondOrientation:
         self.threshold = float(threshold)
         self.n_bond = int(n_bond)
         self.max_neigh = max_neigh
+        self.a_face_area_threshold = float(a_face_area_threshold)
+        self.r_face_area_threshold = float(r_face_area_threshold)
         self._nlist = (verlet_list, distance_list, neighbor_number)
         self._face_areas = face_areas
         self.qnarray = None
@@ -164,7 +168,9 @@ class SteinhardtBondOrientation:
                 from .voronoi import VoronoiAnalysis
 
                 vor = VoronoiAnalysis(self.pos, self.box)
-                vor.compute_neighbors()
+                vor.compute_neighbors(
+                    self.a_face_area_threshold, self.r_face_area_threshold
+                )
                 verlet, dist, nn = vor.verlet_list, vor.distance_list, vor.neighbor_number
                 if self.use_weight and weight is None:
                     weight = vor.face_areas

@@ -1,30 +1,37 @@
 """Voronoi tessellation: per-atom cell volume, neighbor faces, cavity radius.
 
-Parity: reference src/voronoi.cpp (voro++ wrapper) + voronoi.py — outputs
-volume, neighbor_number (faces), cavity_radius = max vertex distance, and the
-face-area-filtered Voronoi neighbor lists used by Steinhardt's Voronoi
-weighting.
+Parity: reference src/voronoi.cpp (voro++ wrapper) + src/mdapy/voronoi.py —
+outputs volume, neighbor_number (faces), cavity_radius = max vertex distance,
+the face-area-filtered Voronoi neighbor lists used by Steinhardt's Voronoi
+weighting (voronoi.py:71, voronoi.cpp:246-299: keep faces with
+area > max(a_threshold, cell_total_area * r_threshold)), the detailed
+per-cell geometry of get_cell_info (voronoi.py:184), and the Cell/Container
+wrappers (voronoi.py:331, 372).
 
 Implementation: scipy's Qhull with explicit periodic ghost images — the
 branch-heavy polytope clipping stays on the host (SURVEY.md §7 marks Voronoi
 as the one justified host-geometry fallback); everything downstream consumes
-plain arrays.
+plain arrays.  Small periodic systems get extra ghost shells instead of the
+reference's explicit replication (voronoi.py:116-135) — indices then already
+map back to original atoms.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from dataclasses import dataclass
+from typing import List, Optional
 
 import numpy as np
 
 from ..core.box import init_box
 
-__all__ = ["VoronoiAnalysis"]
+__all__ = ["VoronoiAnalysis", "Cell", "Container"]
 
 
 class VoronoiAnalysis:
     def __init__(self, pos, box):
-        self.pos = np.ascontiguousarray(pos, dtype=np.float64)
+        pos = getattr(pos, "pos", pos)
+        self.pos = np.ascontiguousarray(np.asarray(pos, dtype=np.float64))
         self.box = init_box(box)
         self.volume = None
         self.neighbor_number = None
@@ -35,7 +42,12 @@ class VoronoiAnalysis:
 
     # ------------------------------------------------------------------
     def _ghosted(self):
-        """Original atoms + periodic ghost images within a margin."""
+        """Original atoms + periodic ghost images within a margin.
+
+        Small systems need ghosts beyond the first image shell (the
+        reference replicates the box until N >= 50, voronoi.py:116-127);
+        here the shell count per axis grows with the fractional margin.
+        """
         box = self.box
         n = len(self.pos)
         # margin: a few typical interatomic spacings bounds the cell extent
@@ -45,60 +57,80 @@ class VoronoiAnalysis:
         frac = (self.pos - box.origin) @ box.inverse_box
         per = box.boundary.astype(bool)
         frac = np.where(per, frac - np.floor(frac), frac)
+        shells = [int(np.ceil(frac_margin[d])) if per[d] else 0 for d in range(3)]
         pts = [frac]
         ids = [np.arange(n)]
-        shifts = []
-        for sx in (-1, 0, 1):
-            for sy in (-1, 0, 1):
-                for sz in (-1, 0, 1):
+        for sx in range(-shells[0], shells[0] + 1):
+            for sy in range(-shells[1], shells[1] + 1):
+                for sz in range(-shells[2], shells[2] + 1):
                     if (sx, sy, sz) == (0, 0, 0):
                         continue
-                    s = np.array([sx, sy, sz])
-                    if np.any((s != 0) & ~per):
-                        continue
-                    shifts.append(s)
-        for s in shifts:
-            g = frac + s
-            keep = np.ones(n, dtype=bool)
-            for d in range(3):
-                keep &= (g[:, d] > -frac_margin[d]) & (g[:, d] < 1 + frac_margin[d])
-            if keep.any():
-                pts.append(g[keep])
-                ids.append(np.nonzero(keep)[0])
+                    g = frac + np.array([sx, sy, sz])
+                    keep = np.ones(n, dtype=bool)
+                    for d in range(3):
+                        keep &= (g[:, d] > -frac_margin[d]) & (g[:, d] < 1 + frac_margin[d])
+                    if keep.any():
+                        pts.append(g[keep])
+                        ids.append(np.nonzero(keep)[0])
         allfrac = np.concatenate(pts, axis=0)
         allids = np.concatenate(ids, axis=0)
         cart = allfrac @ box.matrix + box.origin
         return cart, allids
 
     def compute(self):
-        from scipy.spatial import ConvexHull, Voronoi
+        from scipy.spatial import ConvexHull
 
         cart, ids = self._ghosted()
         n = len(self.pos)
         box = self.box
         per = box.boundary.astype(bool)
-        vor = Voronoi(cart)
         volume = np.zeros(n)
         cavity = np.zeros(n)
         nface = np.zeros(n, dtype=np.int32)
-        # partners per original atom (bisector planes).  scipy omits ridges
-        # of unbounded regions, so with free walls use a kd-tree ball instead.
+        partners = self._partners(cart, n, per)
+        walls = self._walls()
+        for i in range(n):
+            verts, faces, areas = self._cell_geometry(cart, i, partners[i], walls)
+            if verts is None:
+                continue
+            try:
+                hull = ConvexHull(verts)
+            except Exception:
+                continue
+            volume[i] = hull.volume
+            cavity[i] = np.max(np.linalg.norm(verts - cart[i], axis=1))
+            nface[i] = len(faces)
+        self.volume = volume
+        self.neighbor_number = nface
+        self.cavity_radius = cavity
+        return self
+
+    # ------------------------------------------------------------------
+    def _partners(self, cart, n, per):
+        """Candidate bisector partners per original atom."""
         if per.all():
+            from scipy.spatial import Voronoi
+
+            vor = Voronoi(cart)
             partners = [[] for _ in range(n)]
             for (a, b) in vor.ridge_points:
                 if a < n:
                     partners[a].append(b)
                 if b < n:
                     partners[b].append(a)
-        else:
-            from scipy.spatial import cKDTree
+            return partners
+        from scipy.spatial import cKDTree
 
-            vol = abs(box.volume)
-            r_ball = 8.0 * (vol / max(n, 1)) ** (1.0 / 3.0)
-            tree = cKDTree(cart)
-            balls = tree.query_ball_point(cart[:n], r_ball)
-            partners = [[p for p in ball if p != i] for i, ball in enumerate(balls)]
-        # wall half-spaces for free dims (container clipping, voro++ parity)
+        vol = abs(self.box.volume)
+        r_ball = 8.0 * (vol / max(n, 1)) ** (1.0 / 3.0)
+        tree = cKDTree(cart)
+        balls = tree.query_ball_point(cart[:n], r_ball)
+        return [[p for p in ball if p != i] for i, ball in enumerate(balls)]
+
+    def _walls(self):
+        """Wall half-spaces for free dims (container clipping, voro++ parity)."""
+        box = self.box
+        per = box.boundary.astype(bool)
         walls = []
         for d in range(3):
             if per[d]:
@@ -108,25 +140,18 @@ class VoronoiAnalysis:
             hi = float(nvec @ (box.origin + box.matrix[d]))
             walls.append((-nvec, lo))    # n.x >= lo  ->  -n.x + lo <= 0
             walls.append((nvec, -hi))    # n.x <= hi  ->   n.x - hi <= 0
-        for i in range(n):
-            verts, nplanes = self._cell(cart, i, partners[i], walls)
-            if verts is None:
-                continue
-            try:
-                hull = ConvexHull(verts)
-            except Exception:
-                continue
-            volume[i] = hull.volume
-            cavity[i] = np.max(np.linalg.norm(verts - cart[i], axis=1))
-            nface[i] = nplanes
-        self.volume = volume
-        self.neighbor_number = nface
-        self.cavity_radius = cavity
-        return self
+        return walls
 
     @staticmethod
-    def _cell(cart, i, partner_ids, walls):
-        """Exact cell polytope: bisector half-spaces + wall half-spaces."""
+    def _cell_geometry(cart, i, partner_ids, walls):
+        """Exact cell polytope and its finite-area faces.
+
+        Returns (vertices (M,3), faces [list of ordered vertex-index lists],
+        face_info [(plane_row, area)]).  Planes carrying a finite-area facet
+        count as faces (wall facets included, voro++ parity; degenerate
+        vertex-touching planes excluded — in perfect lattices second-shell
+        bisectors pass through cell vertices).
+        """
         from scipy.spatial import HalfspaceIntersection
 
         x = cart[i]
@@ -141,14 +166,14 @@ class VoronoiAnalysis:
             A.append(nvec)
             b.append(off)
         if not A:
-            return None, 0
+            return None, [], []
         A = np.asarray(A)
         b = np.asarray(b)
-        # interior point: Chebyshev center (robust for on-wall atoms)
         norms = np.linalg.norm(A, axis=1)
         interior = x
         slack = A @ x + b
         if np.any(slack >= -1e-12):
+            # interior point via Chebyshev center (robust for on-wall atoms)
             from scipy.optimize import linprog
 
             res = linprog(
@@ -159,34 +184,57 @@ class VoronoiAnalysis:
                 method="highs",
             )
             if not res.success:
-                return None, 0
+                return None, [], []
             interior = res.x[:3]
-        hs = HalfspaceIntersection(np.c_[A, b], interior)
+        try:
+            hs = HalfspaceIntersection(np.c_[A, b], interior)
+        except Exception:
+            return None, [], []
         verts = hs.intersections
-        # faces = planes carrying a finite-area facet (wall facets included,
-        # voro++ parity; degenerate vertex-touching planes excluded — in
-        # perfect lattices second-shell bisectors pass through cell vertices)
-        n_partner = len(partner_ids)
-        dist = np.abs(verts @ A.T + b) / np.linalg.norm(A, axis=1)
-        nface = 0
+        dist = np.abs(verts @ A.T + b) / norms
+        faces = []
+        face_info = []
         for p in range(A.shape[0]):
-            onp = verts[dist[:, p] < 1e-7]
-            if len(onp) < 3:
+            on_idx = np.nonzero(dist[:, p] < 1e-7)[0]
+            if len(on_idx) < 3:
                 continue
+            onp = verts[on_idx]
             c0 = onp.mean(axis=0)
             rel = onp - c0
-            # polygon area via cross-product magnitude of the spanning fan
-            cross = np.zeros(3)
-            for k in range(len(rel)):
-                cross = cross + np.cross(rel[k], rel[(k + 1) % len(rel)])
-            # fan order is arbitrary; use singular values as a robust area proxy
-            s = np.linalg.svd(rel, compute_uv=False)
-            if len(s) >= 2 and s[0] * s[1] > 1e-10:
-                nface += 1
-        return verts, nface
+            # order vertices by angle in the face plane
+            nrm = A[p] / norms[p]
+            u = rel[0] - (rel[0] @ nrm) * nrm
+            un = np.linalg.norm(u)
+            if un < 1e-12:
+                continue
+            u /= un
+            v = np.cross(nrm, u)
+            ang = np.arctan2(rel @ v, rel @ u)
+            order = np.argsort(ang)
+            poly = onp[order]
+            area = 0.0
+            for k in range(len(poly)):
+                v1 = poly[k] - c0
+                v2 = poly[(k + 1) % len(poly)] - c0
+                area += 0.5 * np.linalg.norm(np.cross(v1, v2))
+            if area < 1e-10:
+                continue
+            faces.append([int(on_idx[o]) for o in order])
+            face_info.append((p, area))
+        return verts, faces, face_info
 
-    def compute_neighbors(self, face_area_threshold: float = -1.0):
-        """Voronoi neighbor lists with face areas (voronoi.py:71)."""
+    # ------------------------------------------------------------------
+    def compute_neighbors(
+        self,
+        a_face_area_threshold: float = -1.0,
+        r_face_area_threshold: float = -1.0,
+    ):
+        """Voronoi neighbor lists with face areas (reference voronoi.py:71).
+
+        Keeps faces with area > max(a_threshold, total_cell_area * r_threshold)
+        (voronoi.cpp:252-265).  Rows are compacted and distance-sorted; -1
+        pads unfilled slots.
+        """
         from scipy.spatial import Voronoi
 
         cart, ids = self._ghosted()
@@ -204,13 +252,19 @@ class VoronoiAnalysis:
                 v1 = verts[k] - c0
                 v2 = verts[(k + 1) % len(verts)] - c0
                 area += 0.5 * np.linalg.norm(np.cross(v1, v2))
-            if face_area_threshold > 0 and area <= face_area_threshold:
-                continue
             if a < n:
                 neigh[a].append((ids[b], np.linalg.norm(cart[b] - cart[a]), area))
             if b < n:
                 neigh[b].append((ids[a], np.linalg.norm(cart[b] - cart[a]), area))
-        M = max(1, max(len(v) for v in neigh))
+        # face-area filtering: larger of the absolute and relative thresholds
+        if a_face_area_threshold > 0 or r_face_area_threshold > 0:
+            for i, lst in enumerate(neigh):
+                area_min = max(a_face_area_threshold, 0.0)
+                if r_face_area_threshold > 0:
+                    total = sum(t[2] for t in lst)
+                    area_min = max(area_min, total * r_face_area_threshold)
+                neigh[i] = [t for t in lst if t[2] > area_min]
+        M = max(1, max((len(v) for v in neigh), default=1))
         verlet = np.full((n, M), -1, dtype=np.int32)
         dist = np.zeros((n, M))
         areas = np.zeros((n, M))
@@ -227,3 +281,95 @@ class VoronoiAnalysis:
         self.face_areas = areas
         self.neighbor_number = nn
         return self
+
+    # ------------------------------------------------------------------
+    def get_cell_info(self):
+        """Detailed per-cell geometry (reference voronoi.py:184).
+
+        Returns (face_vertices_indices, face_vertices_positions, volume,
+        radius, face_areas) — per atom: faces as vertex-index lists into the
+        atom's unique vertex array (voronoi.cpp:499-531 layout), that vertex
+        array as (M, 3) coordinates, cell volume, cavity radius (farthest
+        vertex), and per-face areas.  Orthogonal boxes only (reference
+        asserts the same, voronoi.py:234).
+        """
+        assert not self.box.triclinic, "Only support orthogonal box."
+        assert len(self.pos) > 1, "At least has one atom."
+        from scipy.spatial import ConvexHull
+
+        cart, ids = self._ghosted()
+        n = len(self.pos)
+        per = self.box.boundary.astype(bool)
+        partners = self._partners(cart, n, per)
+        walls = self._walls()
+        fvi: List[List[List[int]]] = []
+        fvp: List[List[List[float]]] = []
+        volume: List[float] = []
+        radius: List[float] = []
+        fareas: List[List[float]] = []
+        for i in range(n):
+            verts, faces, face_info = self._cell_geometry(cart, i, partners[i], walls)
+            if verts is None:
+                fvi.append([])
+                fvp.append([])
+                volume.append(0.0)
+                radius.append(0.0)
+                fareas.append([])
+                continue
+            try:
+                vol = float(ConvexHull(verts).volume)
+            except Exception:
+                vol = 0.0
+            fvi.append(faces)
+            fvp.append([list(map(float, v)) for v in verts])
+            volume.append(vol)
+            radius.append(float(np.max(np.linalg.norm(verts - cart[i], axis=1))))
+            fareas.append([float(a) for (_, a) in face_info])
+        return fvi, fvp, volume, radius, fareas
+
+
+@dataclass
+class Cell:
+    """Geometry of one Voronoi cell (reference voronoi.py:331-369)."""
+
+    face_vertices: List[List[int]]
+    vertices: np.ndarray
+    volume: float
+    cavity_radius: float
+    face_areas: np.ndarray
+    pos: np.ndarray
+
+
+class Container:
+    """List-like access to every atom's Voronoi Cell (reference voronoi.py:372).
+
+    Accepts an (N, 3) position array or any object with a ``pos`` attribute
+    (e.g. System / AtomFrame).
+    """
+
+    def __init__(self, data, box):
+        pos = np.asarray(getattr(data, "pos", data), dtype=np.float64)
+        assert pos.ndim == 2 and pos.shape[1] == 3
+        vor = VoronoiAnalysis(pos, box)
+        fvi, fvp, volume, radius, fareas = vor.get_cell_info()
+        self._data: List[Cell] = []
+        for i in range(len(pos)):
+            self._data.append(
+                Cell(
+                    fvi[i],
+                    np.asarray(fvp[i], np.float64).reshape(-1, 3),
+                    volume[i],
+                    radius[i],
+                    np.asarray(fareas[i], np.float64),
+                    pos[i].copy(),
+                )
+            )
+
+    def __getitem__(self, index: int):
+        return self._data[index]
+
+    def __len__(self):
+        return len(self._data)
+
+    def __iter__(self):
+        return iter(self._data)

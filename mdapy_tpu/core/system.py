@@ -273,6 +273,26 @@ class System:
         self.rc = 0.0
         return verlet, dist
 
+    def build_voronoi_neighbor(
+        self,
+        a_face_area_threshold: float = -1.0,
+        r_face_area_threshold: float = -1.0,
+    ) -> None:
+        """Voronoi neighbors + shared-face properties (system.py:1168).
+
+        Sets ``voro_verlet_list`` (N, max_neigh; -1 padded),
+        ``voro_distance_list``, ``voro_face_area`` and
+        ``voro_neighbor_number``.  Faces with area below
+        max(a_threshold, cell_total_area * r_threshold) are dropped."""
+        from ..analysis.voronoi import VoronoiAnalysis
+
+        vor = VoronoiAnalysis(self.pos, self._box)
+        vor.compute_neighbors(a_face_area_threshold, r_face_area_threshold)
+        self.voro_verlet_list = vor.verlet_list
+        self.voro_distance_list = vor.distance_list
+        self.voro_face_area = vor.face_areas
+        self.voro_neighbor_number = vor.neighbor_number
+
     def _nlist(self, rc: float, max_neigh: Optional[int] = None):
         """Reuse cached Verlet list when it covers rc, else rebuild.
 
@@ -521,6 +541,8 @@ class System:
         threshold: float = 0.7,
         n_bond: int = 7,
         max_neigh: Optional[int] = None,
+        a_face_area_threshold: float = -1.0,
+        r_face_area_threshold: float = -1.0,
     ):
         from ..analysis.steinhardt_bond_orientation import SteinhardtBondOrientation
 
@@ -540,6 +562,8 @@ class System:
             threshold=threshold,
             n_bond=n_bond,
             max_neigh=max_neigh,
+            a_face_area_threshold=a_face_area_threshold,
+            r_face_area_threshold=r_face_area_threshold,
         )
         calc.compute()
         for i, l in enumerate(calc.out_names):
