@@ -13,6 +13,30 @@ import numpy as np
 __all__ = ["CalculatorMP"]
 
 
+class _FrameView:
+    """Duck-typed System stand-in so calculators also accept the reference's
+    (data, box) calling convention (reference calculator.py getters /
+    nep.py:163 calculate(data, box))."""
+
+    def __init__(self, data, box):
+        self.data = data
+        self.box = box
+
+    @property
+    def pos(self) -> np.ndarray:
+        return np.column_stack(
+            [
+                np.asarray(self.data["x"], np.float64),
+                np.asarray(self.data["y"], np.float64),
+                np.asarray(self.data["z"], np.float64),
+            ]
+        )
+
+    @property
+    def N(self) -> int:
+        return len(np.asarray(self.data["x"]))
+
+
 class CalculatorMP(ABC):
     def __init__(self):
         self.results = {}
@@ -32,27 +56,36 @@ class CalculatorMP(ABC):
             self.calculate(system)
             self._cache_token = tok
 
+    @staticmethod
+    def _coerce(args):
+        """Accept either (system) or the reference's (data, box)."""
+        if len(args) == 1:
+            return args[0]
+        if len(args) == 2:
+            return _FrameView(*args)
+        raise TypeError("expected (system) or (data, box)")
+
     @abstractmethod
     def calculate(self, system) -> None:
         """Fill self.results with energies/forces/virials/stress."""
 
-    def get_energies(self, system) -> np.ndarray:
-        self._ensure(system)
+    def get_energies(self, *args) -> np.ndarray:
+        self._ensure(self._coerce(args))
         return self.results["energies"]
 
-    def get_energy(self, system) -> float:
-        return float(self.get_energies(system).sum())
+    def get_energy(self, *args) -> float:
+        return float(self.get_energies(*args).sum())
 
-    def get_forces(self, system) -> np.ndarray:
-        self._ensure(system)
+    def get_forces(self, *args) -> np.ndarray:
+        self._ensure(self._coerce(args))
         return self.results["forces"]
 
-    def get_stress(self, system) -> np.ndarray:
-        self._ensure(system)
+    def get_stress(self, *args) -> np.ndarray:
+        self._ensure(self._coerce(args))
         return self.results["stress"]
 
-    def get_virials(self, system) -> np.ndarray:
-        self._ensure(system)
+    def get_virials(self, *args) -> np.ndarray:
+        self._ensure(self._coerce(args))
         return self.results["virials"]
 
     @staticmethod

@@ -1,15 +1,30 @@
 """NEP (neuroevolution potential, GPUMD) — JAX forward + autodiff forces.
 
 Parity: reference src/neppy.cpp + extern/NEPCPU (nep.cpp/nep_utilities.h),
-supporting NEP3/NEP4 (+ universal ZBL): Chebyshev radial basis with cosine
-cutoff, angular descriptor via the real solid-harmonic accumulators
+supporting NEP3/NEP4/NEP5 (+ universal ZBL): Chebyshev radial basis with
+cosine cutoff, angular descriptor via the real solid-harmonic accumulators
 (Z_COEFFICIENT tables / C3B-C4B-C5B contractions), per-type single-hidden-
 layer tanh ANN, q_scaler normalization, and the ZBL screened-Coulomb channel.
+
+qNEP (nep4_charge1/2/3, reference nep.py:163-226 "calculate_charge" path,
+NEPCPU nep.cpp:2434-2604 + ewald_nep.cpp): the ANN grows a second output
+head predicting per-atom charges (apply_ann_one_layer_charge,
+nep_utilities.h:174-203); charges are zero-meaned (zero_total_charge,
+nep.cpp:654), fed into an Ewald electrostatic energy (mode 1: reciprocal +
+real-space erfc + self-energy; mode 2: reciprocal only; mode 3: shifted
+real-space only), and Born effective charges come out as the charge-jacobian
+pair sum (find_bec_* nep.cpp:832-1026) scaled by sqrt(eps_inf).
 
 TPU-first: the whole descriptor-to-energy pipeline is one jitted function of
 positions; forces and the virial come from jax.grad (wrt positions and a
 virtual strain) — replacing NEPCPU's ~3k lines of hand-written gradient
-kernels with autodiff.
+kernels with autodiff.  The reference's D_real chain rule (dE_elec/dq_i *
+dq_i/dr, nep.cpp:708) falls out of autodiff by marking the charge mean with
+stop_gradient (the reference differentiates the raw, un-zeroed charges).
+The BEC pair convention (0.5 * r12 (x) dq_i/dr12, +at i / -at j) uses one
+backward pass: since q_i depends only on atom i's displacement rows,
+grad(sum(q_raw)) wrt the (N, M, 3) displacement tensor yields every per-atom
+charge jacobian at once.
 """
 
 from __future__ import annotations
@@ -75,15 +90,20 @@ class NEP(CalculatorMP):
 
         head = next(tokens_iter)
         self.model_name = head[0]
-        if head[0] in ("nep3", "nep", "nep3_zbl", "nep_zbl"):
+        base = head[0]
+        self.charge_mode = 0
+        if "_charge" in base:
+            base, _, cm = base.rpartition("_charge")
+            self.charge_mode = int(cm)
+        if base in ("nep3", "nep", "nep3_zbl", "nep_zbl"):
             self.version = 3
-        elif head[0] in ("nep4", "nep4_zbl"):
+        elif base in ("nep4", "nep4_zbl"):
             self.version = 4
-        elif head[0] in ("nep5", "nep5_zbl"):
+        elif base in ("nep5", "nep5_zbl"):
             self.version = 5
         else:
             raise ValueError(f"Unsupported NEP model {head[0]!r}")
-        self.zbl_enabled = head[0].endswith("_zbl")
+        self.zbl_enabled = base.endswith("_zbl")
         self.num_types = int(head[1])
         self.elements_list = head[2 : 2 + self.num_types]
         self.atomic_numbers = np.array(
@@ -128,6 +148,9 @@ class NEP(CalculatorMP):
             num_ann = (self.dim + 2) * self.num_neurons * nt + 1
         else:
             num_ann = ((self.dim + 2) * self.num_neurons + 1) * nt + 1
+        if self.charge_mode > 0:
+            # charge head (w1 doubles) + sqrt(eps_inf)  (nep.cpp:2121-2123)
+            num_ann += self.num_neurons * nt + 1
         num_c = nt * nt * (
             (self.n_max_radial + 1) * (self.basis_size_radial + 1)
             + (self.n_max_angular + 1) * (self.basis_size_angular + 1)
@@ -144,10 +167,11 @@ class NEP(CalculatorMP):
                 [float(next(tokens_iter)[0]) for _ in range(nzbl)]
             )
 
-        # ANN parameter layout (nep.cpp update_potential)
+        # ANN parameter layout (nep.cpp update_potential :2255-2303)
         w0 = np.zeros((nt, self.num_neurons, self.dim))
         b0 = np.zeros((nt, self.num_neurons))
         w1 = np.zeros((nt, self.num_neurons))
+        w1c = np.zeros((nt, self.num_neurons))
         p = 0
         for tt in range(nt):
             if tt > 0 and self.version == 3:
@@ -160,8 +184,15 @@ class NEP(CalculatorMP):
             p += self.num_neurons
             w1[tt] = params[p : p + self.num_neurons]
             p += self.num_neurons
+            if self.charge_mode > 0:
+                w1c[tt] = params[p : p + self.num_neurons]
+                p += self.num_neurons
             if self.version == 5:
                 p += 1
+        self.sqrt_epsilon_inf = 1.0
+        if self.charge_mode > 0:
+            self.sqrt_epsilon_inf = float(params[p])
+            p += 1
         self.b1 = float(params[p])
         p += 1
         cparams = params[num_ann:]
@@ -172,7 +203,19 @@ class NEP(CalculatorMP):
         self.c_angular = cparams[nr * nt * nt :].reshape(
             self.n_max_angular + 1, self.basis_size_angular + 1, nt, nt
         )
-        self.w0, self.b0, self.w1 = w0, b0, w1
+        self.w0, self.b0, self.w1, self.w1c = w0, b0, w1, w1c
+
+        # electrostatic constants for the charge models (nep.cpp:2156-2166)
+        if self.charge_mode > 0:
+            import math
+
+            rc = self.rc_radial
+            self.alpha_q = math.pi / rc  # "a good value"
+            self.two_alpha_over_sqrt_pi = 2.0 * self.alpha_q / math.sqrt(math.pi)
+            A = math.erfc(math.pi) / (rc * rc)
+            A += self.two_alpha_over_sqrt_pi * math.exp(-math.pi * math.pi) / rc
+            self.charge_A = A
+            self.charge_B = -math.erfc(math.pi) / rc - A * rc
 
     # ------------------------------------------------------------------
     def _types(self, system) -> np.ndarray:
@@ -194,7 +237,14 @@ class NEP(CalculatorMP):
         verlet, dist, nn = neighbor_search(pos, box, self.rc_radial)
         return pos, box, types, verlet, old_n
 
-    def calculate(self, system) -> None:
+    def calculate(self, system, box=None) -> None:
+        if box is not None:  # reference-style calculate(data, box) (nep.py:163)
+            from .calculator import _FrameView
+
+            system = _FrameView(system, box)
+        if self.charge_mode > 0:
+            self._calculate_qnep(system)
+            return
         pos, box, types, verlet, old_n = self._prepare(system)
         args = (
             jnp.asarray(pos), jnp.asarray(types), jnp.asarray(verlet),
@@ -228,6 +278,53 @@ class NEP(CalculatorMP):
         # partition — exact sum, approximate distribution)
         v = -dEdeps
         self.results["virials"] = np.tile(v.ravel() / len(pos), (old_n, 1))
+
+    def _calculate_qnep(self, system) -> None:
+        """Energies/forces/virials + charges/BEC for nep4_charge* models
+        (reference nep.py:163-226, NEPCPU nep.cpp:2434-2604)."""
+        pos, box, types, verlet, old_n = self._prepare(system)
+        nvec = _ewald_nvecs(np.asarray(box.matrix, np.float64), self.alpha_q)
+        n_total = len(pos)
+        out = _qnep_compute(
+            jnp.asarray(pos), jnp.asarray(types), jnp.asarray(verlet),
+            jnp.asarray(box.matrix), jnp.asarray(box.inverse_box),
+            jnp.asarray(box.boundary.astype(np.float64)),
+            jnp.asarray(nvec),
+            *self._consts(), jnp.asarray(self.w1c),
+            jnp.asarray(self.sqrt_epsilon_inf),
+            self._static(),
+        )
+        energies, forces, dEdeps, charges, bec = (np.asarray(v) for v in out)
+        vol = abs(box.volume)
+        sig = 0.5 * (dEdeps + dEdeps.T) / vol
+        self.results["energies"] = energies[:old_n]
+        self.results["forces"] = forces[:old_n]
+        self.results["stress"] = sig.ravel()[[0, 4, 8, 5, 2, 1]]
+        v = -dEdeps
+        self.results["virials"] = np.tile(v.ravel() / n_total, (old_n, 1))
+        self.results["charges"] = charges[:old_n]
+        self.results["bec"] = bec[:old_n]
+
+    def get_charges(self, system, box=None) -> np.ndarray:
+        """Per-atom (zero-mean) charges; qNEP only (reference nep.py:327)."""
+        if box is not None:
+            from .calculator import _FrameView
+
+            system = _FrameView(system, box)
+        assert self.charge_mode > 0, "charges require a qNEP (nep4_charge*) model."
+        self._ensure(system)
+        return self.results["charges"]
+
+    def get_bec(self, system, box=None) -> np.ndarray:
+        """Per-atom Born effective charges (N, 9); qNEP only
+        (reference nep.py:350)."""
+        if box is not None:
+            from .calculator import _FrameView
+
+            system = _FrameView(system, box)
+        assert self.charge_mode > 0, "BEC requires a qNEP (nep4_charge*) model."
+        self._ensure(system)
+        return self.results["bec"]
 
     def get_descriptors(self, system) -> np.ndarray:
         pos, box, types, verlet, old_n = self._prepare(system)
@@ -271,6 +368,10 @@ class NEP(CalculatorMP):
             zbl=self.zbl_enabled and not self.zbl_flexibled,
             zbl_inner=self.zbl_rc_inner,
             zbl_outer=self.zbl_rc_outer,
+            charge_mode=self.charge_mode,
+            alpha_q=getattr(self, "alpha_q", 0.0),
+            charge_A=getattr(self, "charge_A", 0.0),
+            charge_B=getattr(self, "charge_B", 0.0),
         )
 
 
@@ -290,6 +391,10 @@ class _NEPStatic(NamedTuple):
     zbl: bool
     zbl_inner: float
     zbl_outer: float
+    charge_mode: int = 0
+    alpha_q: float = 0.0
+    charge_A: float = 0.0
+    charge_B: float = 0.0
 
 
 def _chebyshev_basis(d, rc, kmax: int):
@@ -482,6 +587,225 @@ def _nep_energies_strained(pos, types, verlet, matrix, inv, boundary, eps,
     if st.zbl:
         e = e + _zbl_energy(disp, d, ok, ti, tj, atomic_numbers, st)
     return e
+
+
+# ---------------------------------------------------------------------------
+# qNEP (charge model) machinery
+# ---------------------------------------------------------------------------
+
+
+def _descriptor_from_disp(disp, ok, ti, tj, c_radial, c_angular, st: _NEPStatic):
+    """NEP descriptor per atom from pre-computed displacement rows.
+
+    Separated from the pos->disp mapping so the charge jacobian
+    d(sum q_raw)/d(disp) can be taken wrt the displacement tensor directly
+    (the BEC pair convention of NEPCPU find_bec_* nep.cpp:832-1026)."""
+    n = disp.shape[0]
+    d = jnp.linalg.norm(disp, axis=-1)
+    okr = ok & (d < st.rc_radial)
+    fn_r = _chebyshev_basis(d, st.rc_radial, st.basis_r)
+    cr = c_radial[:, :, ti, tj]
+    gn_r = jnp.einsum("nkim,imk->nim", cr, fn_r)
+    q_radial = jnp.sum(jnp.where(okr[None], gn_r, 0.0), axis=2).T
+    oka = ok & (d < st.rc_angular)
+    fn_a = _chebyshev_basis(d, st.rc_angular, st.basis_a)
+    ca = c_angular[:, :, ti, tj]
+    gn_a = jnp.einsum("nkim,imk->nim", ca, fn_a)
+    q_ang = []
+    for na in range(st.nmax_a + 1):
+        gna = jnp.where(oka, gn_a[na], 0.0)
+        s_blocks = _angular_s(disp, d, gna, st.L_max)
+        q_ang.append(_q_from_s(s_blocks, st.L_max, st.L4, st.L5))
+    q_ang = jnp.stack(q_ang, axis=1)
+    q_ang = jnp.swapaxes(q_ang, 1, 2).reshape(n, -1)
+    return jnp.concatenate([q_radial, q_ang], axis=1), d
+
+
+def _ewald_nvecs(matrix: np.ndarray, alpha: float) -> np.ndarray:
+    """Integer reciprocal-lattice triples of the Ewald half-space sphere.
+
+    Host-side (numpy) mirror of EwaldNep::find_k_and_G
+    (ewald_nep.cpp:167-237): half-space n1 >= 0 with the
+    (n1==0, n2<0) / (n1==n2==0, n3<=0) rows dropped, |k|^2 < (2*pi*alpha)^2.
+    The G weights themselves are recomputed inside the traced energy so the
+    strain probe differentiates through them."""
+    two_pi = 6.2831853  # NEPCPU's truncated constant, kept for parity
+    a1, a2, a3 = matrix[0], matrix[1], matrix[2]
+    det = float(np.linalg.det(matrix))
+    b1 = np.cross(a2, a3) * (two_pi / det)
+    b2 = np.cross(a3, a1) * (two_pi / det)
+    b3 = np.cross(a1, a2) * (two_pi / det)
+    volume_k = two_pi**3 / abs(det)
+    n1_max = int(alpha * two_pi * np.linalg.norm(np.cross(b2, b3)) / volume_k)
+    n2_max = int(alpha * two_pi * np.linalg.norm(np.cross(b3, b1)) / volume_k)
+    n3_max = int(alpha * two_pi * np.linalg.norm(np.cross(b1, b2)) / volume_k)
+    ksq_max = two_pi * two_pi * alpha * alpha
+    g1, g2, g3 = np.meshgrid(
+        np.arange(0, n1_max + 1),
+        np.arange(-n2_max, n2_max + 1),
+        np.arange(-n3_max, n3_max + 1),
+        indexing="ij",
+    )
+    nvec = np.stack([g1.ravel(), g2.ravel(), g3.ravel()], axis=1)
+    n1, n2, n3 = nvec[:, 0], nvec[:, 1], nvec[:, 2]
+    keep = ~(
+        ((n1 == 0) & (n2 == 0) & (n3 == 0))
+        | ((n1 == 0) & (n2 < 0))
+        | ((n1 == 0) & (n2 == 0) & (n3 < 0))
+    )
+    nvec = nvec[keep]
+    k = nvec @ np.stack([b1, b2, b3])
+    nvec = nvec[np.sum(k * k, axis=1) < ksq_max]
+    return np.ascontiguousarray(nvec, dtype=np.int32)
+
+
+def _recip_pe(rpos, matrix, qbar, nvec, st: _NEPStatic):
+    """Per-atom reciprocal-space Ewald energy (ewald_nep.cpp:73-141).
+
+    pe_n = K_C * q_n * sum_k G_k Re[S(k) e^{ik.r_n}] with G_k carrying the
+    factor 2 for the suppressed -k half-space; sums to K_C sum_k G_k |S_k|^2."""
+    two_pi = 6.2831853
+    a1, a2, a3 = matrix[0], matrix[1], matrix[2]
+    det = jnp.linalg.det(matrix)
+    f = two_pi / det
+    b = jnp.stack([jnp.cross(a2, a3), jnp.cross(a3, a1), jnp.cross(a1, a2)]) * f
+    k = nvec.astype(rpos.dtype) @ b
+    ksq = jnp.sum(k * k, axis=1)
+    alpha_factor = 0.25 / (st.alpha_q * st.alpha_q)
+    G = 2.0 * jnp.abs(f) / ksq * jnp.exp(-ksq * alpha_factor)
+    kr = rpos @ k.T  # (n, K)
+    c = jnp.cos(kr)
+    s = jnp.sin(kr)
+    S_re = qbar @ c
+    S_im = -(qbar @ s)
+    pe = qbar * (c @ (G * S_re) - s @ (G * S_im))
+    return K_C_SP * pe
+
+
+def _real_pe(qbar, d, ok, jidx, st: _NEPStatic):
+    """Per-atom real-space electrostatics.
+
+    charge_mode 1: 0.5 q_i q_j erfc(alpha r)/r pairs + Gaussian self-energy
+    (find_force_charge_real_space_small_box, nep.cpp:1108-1193);
+    charge_mode 3: shifted erfc/r + A r + B, no self term
+    (find_force_charge_real_space_only_small_box, nep.cpp:1028-1108)."""
+    from jax.scipy.special import erfc as _jerfc
+
+    okq = ok & (d < st.rc_radial)
+    dsafe = jnp.maximum(d, 1e-30)
+    erfc_r = _jerfc(st.alpha_q * d) / dsafe
+    if st.charge_mode == 3:
+        phi = erfc_r + st.charge_A * d + st.charge_B
+    else:
+        phi = erfc_r
+    qq = qbar[:, None] * qbar[jidx]
+    pe = jnp.sum(jnp.where(okq, 0.5 * qq * phi, 0.0), axis=1)
+    if st.charge_mode == 1:
+        two_alpha_over_sqrt_pi = 2.0 * st.alpha_q / np.sqrt(np.pi)
+        pe = pe - 0.5 * two_alpha_over_sqrt_pi * qbar * qbar
+    return K_C_SP * pe
+
+
+def _qnep_energy_atoms(pos, eps, types, verlet, matrix, inv, boundary, nvec,
+                       c_radial, c_angular, w0, b0, w1, b1, q_scaler,
+                       atomic_numbers, w1c, st: _NEPStatic):
+    """Per-atom qNEP energies under a virtual strain eps.
+
+    The charge mean is stop_gradient-ed: the reference differentiates the
+    raw (un-zeroed) ANN charges when chaining dE_elec/dq into the forces
+    (find_force_radial_small_box nep.cpp:708 uses charge_derivative of the
+    raw head times D_real at the zeroed charges)."""
+    ok = verlet >= 0
+    j = jnp.maximum(verlet, 0)
+    strain = jnp.eye(3, dtype=pos.dtype) + eps
+    disp = pos[j] - pos[:, None, :]
+    frac = disp @ inv
+    frac = frac - jnp.round(frac) * boundary
+    disp = (frac @ matrix) @ strain
+    safe = jnp.array([1.0, 0.0, 0.0], disp.dtype)
+    disp = jnp.where(ok[..., None], disp, safe)
+    ti = types[:, None]
+    tj = types[j]
+    q, d = _descriptor_from_disp(disp, ok, ti, tj, c_radial, c_angular, st)
+    qs = q * q_scaler[None]
+    h = jnp.tanh(jnp.einsum("ind,id->in", w0[types], qs) - b0[types])
+    e_atom = jnp.sum(w1[types] * h, axis=1) - b1
+    charge_raw = jnp.sum(w1c[types] * h, axis=1)
+    qbar = charge_raw - jax.lax.stop_gradient(jnp.mean(charge_raw))
+    if st.zbl:
+        e_atom = e_atom + _zbl_energy(disp, d, ok, ti, tj, atomic_numbers, st)
+    if st.charge_mode in (1, 2):
+        e_atom = e_atom + _recip_pe(pos @ strain, matrix @ strain, qbar, nvec, st)
+    if st.charge_mode in (1, 3):
+        e_atom = e_atom + _real_pe(qbar, d, ok, j, st)
+    return e_atom, qbar
+
+
+def _qnep_bec(pos, types, verlet, matrix, inv, boundary,
+              c_radial, c_angular, w0, b0, w1c, q_scaler, sqrt_eps,
+              st: _NEPStatic):
+    """Zero-mean charges + Born effective charges (N, 9).
+
+    BEC_i = sqrt(eps_inf) * [ qbar_i I + sum_pairs +/- 0.5 r12 (x) dq_i/dr12 ]
+    matching NEPCPU find_bec_diagonal/radial/angular + scale_bec
+    (nep.cpp:832-1026).  One backward pass gives every per-atom charge
+    jacobian: q_i depends only on row block disp[i], so
+    grad(sum_i q_raw_i) wrt disp == stacked per-atom jacobians."""
+    n = pos.shape[0]
+    ok = verlet >= 0
+    j = jnp.maximum(verlet, 0)
+    disp = pos[j] - pos[:, None, :]
+    frac = disp @ inv
+    frac = frac - jnp.round(frac) * boundary
+    disp = frac @ matrix
+    safe = jnp.array([1.0, 0.0, 0.0], disp.dtype)
+    disp = jnp.where(ok[..., None], disp, safe)
+    ti = types[:, None]
+    tj = types[j]
+
+    def qsum(disp_):
+        q, _ = _descriptor_from_disp(disp_, ok, ti, tj, c_radial, c_angular, st)
+        h = jnp.tanh(
+            jnp.einsum("ind,id->in", w0[types], q * q_scaler[None]) - b0[types]
+        )
+        c = jnp.sum(w1c[types] * h, axis=1)
+        return jnp.sum(c), c
+
+    (_, charge_raw), J = jax.value_and_grad(qsum, has_aux=True)(disp)
+    qbar = charge_raw - jnp.mean(charge_raw)
+    pair = 0.5 * disp[:, :, :, None] * J[:, :, None, :]  # (n, M, 3, 3)
+    pair = jnp.where(ok[:, :, None, None], pair, 0.0)
+    bec = qbar[:, None, None] * jnp.eye(3, dtype=pos.dtype) + jnp.sum(pair, axis=1)
+    seg = jnp.where(ok, j, n).reshape(-1)
+    sub = jax.ops.segment_sum(pair.reshape(-1, 3, 3), seg, num_segments=n + 1)[:n]
+    bec = (bec - sub) * sqrt_eps
+    return qbar, bec.reshape(n, 9)
+
+
+@functools.partial(jax.jit, static_argnames=("st",))
+def _qnep_compute(pos, types, verlet, matrix, inv, boundary, nvec,
+                  c_radial, c_angular, w0, b0, w1, b1, q_scaler, atomic_numbers,
+                  w1c, sqrt_eps, st: _NEPStatic):
+    eps0 = jnp.zeros((3, 3), dtype=pos.dtype)
+
+    def total(p, e):
+        e_atom, _ = _qnep_energy_atoms(
+            p, e, types, verlet, matrix, inv, boundary, nvec,
+            c_radial, c_angular, w0, b0, w1, b1, q_scaler,
+            atomic_numbers, w1c, st,
+        )
+        return jnp.sum(e_atom), e_atom
+
+    (_, e_atom), grads = jax.value_and_grad(total, argnums=(0, 1), has_aux=True)(
+        pos, eps0
+    )
+    forces = -grads[0]
+    dEdeps = grads[1]
+    charges, bec = _qnep_bec(
+        pos, types, verlet, matrix, inv, boundary,
+        c_radial, c_angular, w0, b0, w1c, q_scaler, sqrt_eps, st,
+    )
+    return e_atom, forces, dEdeps, charges, bec
 
 
 @functools.partial(jax.jit, static_argnames=("st",))
