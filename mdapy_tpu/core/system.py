@@ -44,8 +44,21 @@ class System:
         boundary=None,
         origin=None,
         global_info: Optional[dict] = None,
+        ase_atom=None,
+        ovito_atom=None,
     ) -> None:
         self.global_info: dict = dict(global_info or {})
+        if ase_atom is not None:
+            from ..io.load_save import BuildSystem
+
+            frame, bx, ginfo = BuildSystem.from_ase(ase_atom)
+            data, box = frame, bx
+        elif ovito_atom is not None:
+            from ..io.load_save import BuildSystem
+
+            frame, bx, ginfo = BuildSystem.from_ovito(ovito_atom)
+            self.global_info.update(ginfo)
+            data, box = frame, bx
         if filename is not None:
             from ..io.load_save import BuildSystem
 
@@ -94,7 +107,7 @@ class System:
             else:
                 self._data["type"] = np.ones(self._data.nrows, dtype=np.int32)
         self._clear_cache()
-        self.calc = None
+        self._calc = None
 
     # ------------------------------------------------------------------ state
     def _clear_cache(self) -> None:
@@ -137,6 +150,76 @@ class System:
                 [self._data["vx"], self._data["vy"], self._data["vz"]]
             )
         return None
+
+    def get_velocities(self) -> AtomFrame:
+        """Velocity columns as a frame (parity: system.py:479)."""
+        assert "vx" in self._data, "data must contain vx, vy, vz columns."
+        return self._data.select(["vx", "vy", "vz"])
+
+    @property
+    def calc(self):
+        """Attached calculator (parity: system.py:248-258)."""
+        return self._calc
+
+    @calc.setter
+    def calc(self, value):
+        from ..potentials.calculator import CalculatorMP
+
+        if not isinstance(value, CalculatorMP):
+            raise TypeError(
+                f"calc must be CalculatorMP, instead of {type(value).__name__}"
+            )
+        value.results = {}
+        self._calc = value
+
+    def set_element(self, element) -> None:
+        """Assign element names: one symbol for all atoms, or per-atom list
+        (parity: system.py:333-377)."""
+        if isinstance(element, str):
+            elems = np.full(self.N, element, dtype=object)
+        else:
+            assert len(element) == self.N, (
+                f"Length of element ({len(element)}) must equal the atom "
+                f"number ({self.N})."
+            )
+            elems = np.asarray(element, dtype=object)
+        self._data["element"] = elems
+        self._clear_cache()
+
+    def set_type_by_element(self, element_list) -> None:
+        """Assign 1-based types from the index of each atom's element in
+        ``element_list`` (parity: system.py:379-432)."""
+        assert "element" in self._data, "Data must contain element column."
+        elems = np.asarray(self._data["element"]).astype(str)
+        lut = {e: i for i, e in enumerate(element_list, start=1)}
+        missing = set(elems.tolist()) - set(lut)
+        assert not missing, (
+            f"element_list must include elements {sorted(missing)} "
+            "(seen in data['element'])."
+        )
+        self._data["type"] = np.array([lut[e] for e in elems], dtype=np.int32)
+        self._clear_cache()
+
+    def set_pka(
+        self,
+        energy: float,
+        direction: np.ndarray,
+        index: Optional[int] = None,
+        element: Optional[str] = None,
+        factor: float = 1.0,
+    ) -> None:
+        """Assign PKA kinetic energy/direction for cascade setup
+        (parity: system.py:503-561; velocity units A/fs via ``factor``)."""
+        from ..utils.tool_function import set_pka as _set_pka
+
+        for c in ("vx", "vy", "vz"):
+            assert c in self._data, f"data must contain {c}."
+            self._data[c] = np.asarray(self._data[c], np.float64) * factor
+        try:
+            _set_pka(self, energy, direction, index=index, element=element)
+        finally:
+            for c in ("vx", "vy", "vz"):
+                self._data[c] = np.asarray(self._data[c], np.float64) / factor
 
     # ------------------------------------------------------------- mutation
     def update_data(self, data: Union[AtomFrame, Dict[str, np.ndarray]]) -> None:
@@ -217,6 +300,62 @@ class System:
         from ..io.load_save import write_mp
 
         write_mp(filename, self._data, self._box, self.global_info)
+
+    def to_ovito(self):
+        """Convert to an ovito DataCollection (parity: system.py:891 /
+        load_save.py:1435; requires the optional ``ovito`` package)."""
+        try:
+            from ovito.data import DataCollection
+        except ImportError as err:  # pragma: no cover - optional dep
+            raise ImportError(
+                "to_ovito requires the optional 'ovito' package. "
+                "See https://www.ovito.org/manual/python/introduction/installation.html"
+            ) from err
+        dc = DataCollection()
+        cell = dc.create_cell(
+            matrix=self._box.matrix.T, pbc=[bool(p) for p in self._box.boundary]
+        )
+        cell[:, 3] = self._box.origin
+        particles = dc.create_particles(count=self.N)
+        particles.create_property("Position", data=self.pos)
+        if "element" in self._data:
+            types = particles.create_property("Particle Type")
+            with types as tarray:
+                for i, sym in enumerate(
+                    np.asarray(self._data["element"]).astype(str)
+                ):
+                    tarray[i] = types.add_type_name(sym, particles).id
+        elif "type" in self._data:
+            particles.create_property(
+                "Particle Type", data=np.asarray(self._data["type"])
+            )
+        else:
+            particles.create_property(
+                "Particle Type", data=np.ones(self.N, np.int32)
+            )
+        if all(c in self._data for c in ("vx", "vy", "vz")):
+            particles.create_property("Velocity", data=self.vel)
+        if all(c in self._data for c in ("fx", "fy", "fz")):
+            particles.create_property(
+                "Force",
+                data=np.column_stack(
+                    [self._data["fx"], self._data["fy"], self._data["fz"]]
+                ),
+            )
+        skip = {"x", "y", "z", "element", "type", "vx", "vy", "vz", "fx", "fy", "fz"}
+        for name in self._data.columns:
+            if name in skip:
+                continue
+            try:
+                particles.create_property(name, data=np.asarray(self._data[name]))
+            except Exception:
+                pass
+        for key, value in self.global_info.items():
+            try:
+                dc.attributes[key] = value
+            except Exception:
+                pass
+        return dc
 
     def to_ase(self):
         """Convert to ase.Atoms (parity: load_save.py:1378)."""

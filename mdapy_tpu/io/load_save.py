@@ -809,6 +809,54 @@ class BuildSystem:
             cols["vx"], cols["vy"], cols["vz"] = vel[:, 0], vel[:, 1], vel[:, 2]
         return AtomFrame(cols), Box(matrix, boundary), {}
 
+    @staticmethod
+    def from_ovito(atom):
+        """Convert an ovito DataCollection (parity: load_save.py:413-505;
+        requires the optional ``ovito`` package)."""
+        try:
+            from ovito.data import DataCollection
+        except ImportError as err:  # pragma: no cover - optional dep
+            raise ImportError(
+                "from_ovito requires the optional 'ovito' package. "
+                "See https://www.ovito.org/manual/python/introduction/installation.html"
+            ) from err
+        if not isinstance(atom, DataCollection):
+            raise TypeError("Only accept an Ovito DataCollection object")
+        boundary = [1 if p else 0 for p in atom.cell.pbc]
+        cellm = np.array(atom.cell[...])
+        box = Box(cellm[:, :3].T, boundary, origin=cellm[:, 3])
+        global_info = dict(atom.attributes.items())
+        cols = {}
+        for key in atom.particles.keys():
+            arr = np.array(atom.particles[key][...])
+            if key == "Position":
+                cols["x"], cols["y"], cols["z"] = arr[:, 0], arr[:, 1], arr[:, 2]
+            elif key == "Particle Type":
+                cols["type"] = arr.astype(np.int32)
+            elif key == "Particle Identifier":
+                cols["id"] = arr.astype(np.int32)
+            elif key == "Velocity":
+                cols["vx"], cols["vy"], cols["vz"] = arr[:, 0], arr[:, 1], arr[:, 2]
+            elif key == "Velocity Magnitude":
+                pass
+            elif key == "Force":
+                cols["fx"], cols["fy"], cols["fz"] = arr[:, 0], arr[:, 1], arr[:, 2]
+            else:
+                name = "".join(key.split())
+                if arr.ndim == 1:
+                    cols[name] = arr
+                else:
+                    for j in range(arr.shape[1]):
+                        cols[f"{name}_{j}"] = arr[:, j]
+        pt = getattr(atom.particles, "particle_type", None)
+        if pt is not None and "type" in cols:
+            t2e = {t.id: t.name for t in pt.types}
+            if t2e and all(isinstance(n, str) and n for n in t2e.values()):
+                cols["element"] = np.array(
+                    [t2e[int(t)] for t in cols["type"]], dtype=object
+                )
+        return AtomFrame(cols), box, global_info
+
 
 class SaveSystem:
     """Writer facade. Parity: reference load_save.py SaveSystem."""

@@ -262,9 +262,16 @@ def build_screen_bins(scene, frame, width: int, height: int, tile_px: int = 16) 
         out[kind] = _build_kind(tx0, ty0, sw, sh, tiles_x, nb)
     sph_chunks = sph_zmin = None
     if out["sph"] is not None:
-        chunk = min(128, out["sph"].cand.shape[1])
+        cand = out["sph"].cand
+        # the Pallas closest-hit DMAs (8, CH) slices — CH must be a full
+        # 128-lane tile, so pad small candidate rows up to 128
+        K = cand.shape[1]
+        k128 = max(128, -(-K // 128) * 128)
+        if k128 != K:
+            cand = jnp.pad(cand, ((0, 0), (0, k128 - K)), constant_values=-1)
+        chunk = min(128, cand.shape[1])
         sph_chunks, sph_zmin = _depth_sort_bins(
-            out["sph"].cand, out["sph"].count,
+            cand, out["sph"].count,
             scene.sph_center, scene.sph_radius, origin, view, chunk,
         )
     return ScreenBins(sph_chunks, sph_zmin, out["cyl"], out["ring"], tiles_x, tiles_y, tile_px)
@@ -335,6 +342,60 @@ def build_light_bins(scene, light_dir, grid: int = 128) -> LightBins:
     return LightBins(
         out["sph"], out["cyl"], out["ring"], L, e1, e2,
         jnp.stack([umin, vmin]), inv_cell, grid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _light_csr_kernel_data(cand, centers, radii, e1, e2, org, L, cap: int):
+    """CSR light-grid records for the Pallas shadow kernel.
+
+    Per cell, candidates sorted DESCENDING by far-depth key (c.L + r) — the
+    light-side-first scan order — then flattened with each cell's segment
+    padded to a 128 multiple (aligned window DMAs).  Records are rows
+    [cu, cv, ck, r, key] where (cu, cv) are lateral light-space coords and
+    ck = c.L, so the in-kernel occlusion test is 2D lateral + depth."""
+    ncells, K = cand.shape
+    idx = jnp.maximum(cand, 0)
+    live = cand >= 0
+    keyfull = centers @ L + radii
+    key = jnp.where(live, keyfull[idx], -BIG_DEPTH)
+    order = jnp.argsort(-key, axis=1)
+    cand_s = jnp.take_along_axis(cand, order, axis=1)
+    count = jnp.sum(live, axis=1).astype(jnp.int32)
+    padded = ((count + 127) // 128) * 128
+    offs = jnp.cumsum(padded) - padded
+    pair = jnp.arange(cap, dtype=jnp.int32)
+    cell = jnp.searchsorted(offs + padded, pair, side="right").astype(jnp.int32)
+    cell = jnp.minimum(cell, ncells - 1)
+    local = pair - offs[cell]
+    valid = (local < count[cell]) & (local < K)
+    ids = jnp.where(valid, cand_s[cell, jnp.minimum(local, K - 1)], -1)
+    gi = jnp.maximum(ids, 0)
+    ok = ids >= 0
+    cu = jnp.where(ok, centers[gi] @ e1 - org[0], 0.0)
+    cv = jnp.where(ok, centers[gi] @ e2 - org[1], 0.0)
+    ck = jnp.where(ok, centers[gi] @ L, 0.0)
+    r = jnp.where(ok, radii[gi], -1.0)
+    kk = jnp.where(ok, ck + r, -BIG_DEPTH)
+    zero = jnp.zeros_like(cu)
+    ldata = jnp.stack([cu, cv, ck, r, kk, zero, zero, zero])
+    return ldata, offs.astype(jnp.int32), count
+
+
+def build_light_records(lb: "LightBins", scene):
+    """Dense CSR record tensor for sphere shadow tests in Pallas.
+
+    Returns (ldata (8, cap) f32, offs (ncells,) i32, count (ncells,) i32)
+    or None when the scene has no spheres."""
+    if lb.sph is None:
+        return None
+    cand = lb.sph.cand
+    count = lb.sph.count
+    padded_total = int(jnp.sum(((count + 127) // 128) * 128))
+    cap = _round_pow2(padded_total, lo=128)
+    return _light_csr_kernel_data(
+        cand, scene.sph_center, scene.sph_radius,
+        lb.e1, lb.e2, lb.org, lb.L, cap,
     )
 
 

@@ -29,7 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1e18
 TILE_GROUP = 8
 
-__all__ = ["closest_hit_spheres_tiles", "gather_chunk_data"]
+__all__ = [
+    "closest_hit_spheres_tiles",
+    "gather_chunk_data",
+    "shadow_filter_tiles",
+]
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -53,7 +57,7 @@ def _kernel(
     tcap_ref,     # (G, RB) VMEM — per-ray early-exit caps
     chunks_hbm,   # (nb, nchunks, 8, CH) ANY/HBM — candidate records
     t_out,        # (G, RB) VMEM out
-    id_out,       # (G, RB) VMEM out (chunk*CH + slot, or -1)
+    rec_out,      # (G, RB, 8) VMEM out — winning record [cx,cy,cz,r,rgba]
     buf,          # (2, 8, CH) VMEM scratch
     sems,         # (2,) DMA semaphores
     *,
@@ -81,7 +85,7 @@ def _kernel(
             )
 
         def cond(carry):
-            c, best_t, best_id = carry
+            c, best_t, best_rec = carry
             zc = zmin_ref[jnp.minimum(tile, nb - 1) * nchunks + jnp.minimum(c, nchunks - 1)]
             needed = jnp.max(jnp.minimum(best_t, tcap))
             return (c < nchunks) & (zc < needed)
@@ -94,7 +98,7 @@ def _kernel(
             dma(0, 0).start()
 
         def body(carry):
-            c, best_t, best_id = carry
+            c, best_t, best_rec = carry
             slot = jax.lax.rem(c, jnp.int32(2))
             nxt = jax.lax.rem(c + jnp.int32(1), jnp.int32(2))
 
@@ -123,16 +127,24 @@ def _kernel(
             tmin = jnp.min(t, axis=1, keepdims=True)       # (RB,1)
             sel = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
             better = tmin < best_t
-            best_id = jnp.where(better, c * CH + sel, best_id)
+            # winner's record via one-hot contraction (MXU) — keeps the
+            # normal/color lookup out of XLA gather land entirely
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (RB, CH), 1)
+            onehot = jnp.where(lanes == sel, 1.0, 0.0).astype(rec.dtype)
+            rec_sel = jax.lax.dot_general(
+                onehot, rec, (((1,), (1,)), ((), ())),
+                preferred_element_type=rec.dtype,
+            )                                              # (RB, 8)
+            best_rec = jnp.where(better, rec_sel, best_rec)
             best_t = jnp.where(better, tmin, best_t)
-            return c + 1, best_t, best_id
+            return c + 1, best_t, best_rec
 
         init = (
             jnp.int32(0),
             jnp.full((RB, 1), BIG, o_ref.dtype),
-            jnp.full((RB, 1), -1, jnp.int32),
+            jnp.zeros((RB, 8), o_ref.dtype),
         )
-        cf, best_t, best_id = jax.lax.while_loop(cond, body, init)
+        cf, best_t, best_rec = jax.lax.while_loop(cond, body, init)
 
         # drain the in-flight DMA the loop started but never consumed
         @pl.when((cf < nchunks) & ((cf > 0) | first_needed))
@@ -140,10 +152,218 @@ def _kernel(
             dma(jax.lax.rem(cf, jnp.int32(2)), jnp.minimum(cf, nchunks - 1)).wait()
 
         t_out[k, :] = best_t[:, 0]
-        id_out[k, :] = best_id[:, 0]
+        rec_out[k, :, :] = best_rec
         return 0
 
     jax.lax.fori_loop(0, TILE_GROUP, per_tile, 0)
+
+
+# ---------------------------------------------------------------------------
+# shadow kernel — directional-light occlusion over the CSR light grid
+# ---------------------------------------------------------------------------
+#
+# Shadow rays from one screen tile land in a handful of light-grid cells
+# (their lateral light-space coords are spatially coherent).  Each cell's
+# candidate records are depth-sorted light-side-first, so a window scan from
+# the start blocks shadowed rays immediately (the topmost occluder in the
+# column) and exits for lit rays as soon as the window's max far-depth key
+# drops below the shallowest unblocked ray — no per-ray gathers anywhere:
+# every window is a contiguous 128-lane DMA shared by the whole tile.
+
+_SHADOW_W = 128
+
+
+def _shadow_kernel(
+    offs_ref,     # (ncells,) SMEM scalar-prefetch — CSR segment starts
+    cnt_ref,      # (ncells,) SMEM — per-cell candidate counts
+    uvt_ref,      # (G, RB, 3) VMEM — per-ray (u, v, tau) in light space
+    cell_ref,     # (G, RB, 2) VMEM int32 — per-ray (gx, gy) light cells
+    lit_ref,      # (G, RB) VMEM int32 — 1 where the ray needs a shadow test
+    ldata_hbm,    # (8, CAP) ANY — CSR records [cu, cv, ck, r, key, 0, 0, 0]
+    filt_out,     # (G, RB) VMEM out — 1.0 lit, 0.0 blocked
+    buf,          # (2, 8, W) VMEM scratch
+    sems,         # (2,) DMA semaphores
+    *,
+    eps: float,
+    grid_n: int,
+):
+    W = _SHADOW_W
+
+    def per_tile(k, _):
+        u = uvt_ref[k, :, 0:1]            # (RB, 1)
+        v = uvt_ref[k, :, 1:2]
+        tau = uvt_ref[k, :, 2:3]
+        gx = cell_ref[k, :, 0:1]
+        gy = cell_ref[k, :, 1:2]
+        lit = lit_ref[k, :][:, None] > 0  # (RB, 1)
+
+        any_lit = jnp.any(lit)
+        big = grid_n + 1
+        cx0 = jnp.min(jnp.where(lit, gx, big))
+        cx1 = jnp.max(jnp.where(lit, gx, -1))
+        cy0 = jnp.min(jnp.where(lit, gy, big))
+        cy1 = jnp.max(jnp.where(lit, gy, -1))
+        nx = jnp.maximum(cx1 - cx0 + 1, 0)
+        ny = jnp.maximum(cy1 - cy0 + 1, 0)
+        ncell_tile = jnp.where(any_lit, nx * ny, 0)
+
+        def dma(slot, off):
+            # CSR segment starts and window strides are 128-multiples by
+            # construction; tell Mosaic so the HBM slice is provably tiled
+            return pltpu.make_async_copy(
+                ldata_hbm.at[:, pl.ds(pl.multiple_of(off, W), W)],
+                buf.at[slot],
+                sems.at[slot],
+            )
+
+        # blocked is carried as f32 {0,1}: boolean (i1) loop carries of this
+        # shape fail Mosaic legalization (padded i1 vector yields)
+        def cell_body(carry):
+            ci, blocked = carry
+            dx = jax.lax.rem(ci, jnp.maximum(nx, 1))
+            dy = ci // jnp.maximum(nx, 1)
+            cell = (cy0 + dy) * grid_n + (cx0 + dx)
+            cell = jnp.clip(cell, 0, grid_n * grid_n - 1)
+            sel = jnp.where(
+                lit & (gx == cx0 + dx) & (gy == cy0 + dy), 1.0, 0.0
+            ).astype(blocked.dtype)
+            off0 = offs_ref[cell]
+            cnt = cnt_ref[cell]
+            nw = (cnt + (W - 1)) // W
+
+            def active_tau(blk):
+                live = sel * (1.0 - blk) > 0.0
+                return jnp.min(jnp.where(live, tau, BIG))
+
+            def wcond(wc):
+                w, blk, kmax = wc
+                # continue while a selected ray is unblocked and the next
+                # window could still contain an occluder above it
+                return (
+                    (w < nw)
+                    & (jnp.max(sel * (1.0 - blk)) > 0.0)
+                    & (kmax > active_tau(blk) + eps)
+                )
+
+            def wbody(wc):
+                w, blk, kmax = wc
+                slot = jax.lax.rem(w, jnp.int32(2))
+                nxt = jax.lax.rem(w + jnp.int32(1), jnp.int32(2))
+
+                @pl.when(w + 1 < nw)
+                def _():
+                    dma(nxt, off0 + (w + 1) * W).start()
+
+                dma(slot, off0 + w * W).wait()
+                rec = buf[slot]
+                cu = rec[0, :][None, :]
+                cv = rec[1, :][None, :]
+                ck = rec[2, :][None, :]
+                r = rec[3, :][None, :]
+                du = cu - u
+                dv = cv - v
+                s2 = r * r - (du * du + dv * dv)
+                oksq = s2 > 0.0
+                s = jnp.sqrt(jnp.where(oksq, s2, 0.0))
+                occ = oksq & (r > 0.0) & (ck + s > tau + eps)
+                occf = jnp.max(jnp.where(occ, 1.0, 0.0), axis=1, keepdims=True)
+                blk = jnp.maximum(blk, sel * occf.astype(blk.dtype))
+                # next window's max key = its first record (descending sort)
+                nxt_kmax = rec[4, W - 1]  # lower bound via this window's tail
+                return w + 1, blk, nxt_kmax
+
+            kmax0 = jnp.where(cnt > 0, BIG, -BIG)
+
+            @pl.when(cnt > 0)
+            def start_first():
+                dma(0, off0).start()
+
+            wf, blocked, _ = jax.lax.while_loop(
+                wcond, wbody, (jnp.int32(0), blocked, kmax0)
+            )
+
+            # drain an in-flight DMA the loop prefetched but never consumed
+            @pl.when((wf < nw) & (wf > 0))
+            def _():
+                dma(jax.lax.rem(wf, jnp.int32(2)), off0 + wf * W).wait()
+
+            @pl.when((wf == 0) & (cnt > 0))
+            def _():
+                dma(0, off0).wait()
+
+            return ci + 1, blocked
+
+        litf = jnp.where(lit, 1.0, 0.0).astype(uvt_ref.dtype)
+
+        def cell_cond(carry):
+            ci, blocked = carry
+            return (ci < ncell_tile) & (jnp.max(litf * (1.0 - blocked)) > 0.0)
+
+        blocked0 = jnp.zeros((u.shape[0], 1), uvt_ref.dtype)
+        _, blocked = jax.lax.while_loop(
+            cell_cond, cell_body, (jnp.int32(0), blocked0)
+        )
+        filt_out[k, :] = 1.0 - blocked[:, 0]
+        return 0
+
+    jax.lax.fori_loop(0, TILE_GROUP, per_tile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_n", "eps", "interpret"))
+def shadow_filter_tiles(
+    uvt, cellxy, lit, ldata, offs, cnt, grid_n: int, eps: float = 4e-4,
+    interpret: bool = False,
+):
+    """Binary shadow transmission for all tiles.
+
+    uvt: (nb, R, 3) per-ray light-space (u, v, tau); cellxy: (nb, R, 2) i32;
+    lit: (nb, R) i32 (1 = test me); ldata: (8, CAP) CSR records;
+    offs/cnt: (ncells,) i32.  Returns filt (nb, R) in {0.0, 1.0}.
+    """
+    nb, R, _ = uvt.shape
+    G = TILE_GROUP
+    nbp = -(-nb // G) * G
+    nrb = 1
+    for cand_nrb in range(1, max(2, R // 128) + 1):
+        if R % cand_nrb == 0 and (R // cand_nrb) % 128 == 0 and R // cand_nrb <= 2048:
+            nrb = cand_nrb
+            break
+    RB = R // nrb
+    if RB % 128:
+        raise ValueError(f"ray count {R} must be a multiple of 128")
+    if nbp != nb:
+        padn = nbp - nb
+        uvt = jnp.concatenate([uvt, jnp.zeros((padn, R, 3), uvt.dtype)], axis=0)
+        cellxy = jnp.concatenate(
+            [cellxy, jnp.zeros((padn, R, 2), jnp.int32)], axis=0
+        )
+        lit = jnp.concatenate([lit, jnp.zeros((padn, R), jnp.int32)], axis=0)
+    kernel = functools.partial(_shadow_kernel, eps=eps, grid_n=grid_n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nbp // G, nrb),
+        in_specs=[
+            pl.BlockSpec((G, RB, 3), lambda i, j, *_: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, RB, 2), lambda i, j, *_: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, RB), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, RB), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, _SHADOW_W), uvt.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (filt,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nbp, R), uvt.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(offs, cnt, uvt, cellxy, lit, ldata)
+    return filt[:nb]
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
@@ -152,7 +372,8 @@ def closest_hit_spheres_tiles(o, d, tcap, zmin, chunk_data, eps: float = 4e-4, i
 
     o, d: (nb, R, 3); tcap: (nb, R); zmin: (nb, nchunks);
     chunk_data: (nb, nchunks, 8, CH).
-    Returns best_t (nb, R), best_slot (nb, R) flat slot into (nchunks*CH) or -1.
+    Returns best_t (nb, R) and the winner's record (nb, R, 8)
+    [cx, cy, cz, r, rgba] (r <= 0 where the ray missed).
     """
     nb, R, _ = o.shape
     nchunks, CH = chunk_data.shape[1], chunk_data.shape[3]
@@ -184,23 +405,23 @@ def closest_hit_spheres_tiles(o, d, tcap, zmin, chunk_data, eps: float = 4e-4, i
         ],
         out_specs=[
             pl.BlockSpec((G, RB), lambda i, j, z: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, RB), lambda i, j, z: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, RB, 8), lambda i, j, z: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 8, CH), o.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    t, sid = pl.pallas_call(
+    t, rec = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nbp, R), o.dtype),
-            jax.ShapeDtypeStruct((nbp, R), jnp.int32),
+            jax.ShapeDtypeStruct((nbp, R, 8), o.dtype),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         zmin.reshape(-1), o, d, tcap, chunk_data
     )
-    return t[:nb], sid[:nb]
+    return t[:nb], rec[:nb]

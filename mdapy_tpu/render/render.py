@@ -167,21 +167,47 @@ class TachyonRender:
                 box_edges = None
 
         dtype = np.float64 if self._backend == "cpu" else np.float32
-        scene = build_scene(
-            positions, colors, radii,
-            bond_edges=bond_edges, bond_colors=bond_colors, bond_radius=bond_radius,
-            box_edges=box_edges, box_edge_radius=box_edge_radius,
-            box_color=box_color, dtype=dtype,
-        )
         any_alpha = bool(np.any(colors[:, 3] < 1.0)) or (
             bond_colors is not None and bool(np.any(np.asarray(bond_colors)[:, 3] < 1.0))
         ) or (len(box_color) > 3 and box_color[3] < 1.0)
         cfg = self._cfg._replace(transparency=any_alpha)
 
+        # steady-state frames skip scene+accel rebuilds entirely: hash the
+        # raw buffers directly (never repr() them — that stringifies MBs)
+        import hashlib
+
+        h = hashlib.sha1()
+        for a in (positions, colors, radii):
+            h.update(a)
+        for a in (bond_edges, bond_colors, box_edges):
+            if a is not None:
+                h.update(np.ascontiguousarray(a))
+        h.update(repr((camera.__dict__, bond_radius, box_edge_radius,
+                       box_color, width, height, dtype)).encode())
+        cache_key = h.hexdigest()
+
+        if getattr(self, "_scene_key", None) == cache_key:
+            scene = self._scene_cache
+        else:
+            scene = build_scene(
+                positions, colors, radii,
+                bond_edges=bond_edges, bond_colors=bond_colors,
+                bond_radius=bond_radius,
+                box_edges=box_edges, box_edge_radius=box_edge_radius,
+                box_color=box_color, dtype=dtype,
+            )
+            self._scene_cache = None
+            self._scene_key = None
+
         frame = camera_frame(camera, width, height)
         devices = jax.devices("cpu") if self._backend == "cpu" else jax.devices()
         with jax.default_device(devices[0]):
-            scene = jax.tree.map(lambda a: np.asarray(a, dtype), scene)
+            if self._scene_key != cache_key:
+                scene = jax.tree.map(
+                    lambda a: jax.device_put(np.asarray(a, dtype)), scene
+                )
+                self._scene_cache = scene
+                self._scene_key = cache_key
             if cfg.ao_enabled or not self.use_tiling:
                 img_f = render_image(
                     scene,
@@ -196,15 +222,6 @@ class TachyonRender:
 
                 # cache acceleration structures across renders of the same
                 # scene/camera/size (steady-state frames rebuild nothing)
-                cache_key = (
-                    positions.tobytes(), colors.tobytes(), radii.tobytes(),
-                    None if bond_edges is None else bond_edges.tobytes(),
-                    None if box_edges is None else box_edges.tobytes(),
-                    repr(camera.__dict__), width, height,
-                )
-                import hashlib
-
-                cache_key = hashlib.sha1(repr(cache_key).encode()).hexdigest()
                 if getattr(self, "_accel_key", None) == cache_key:
                     bins, lb, self._chunk_data_cached = self._accel_cache
                 else:
@@ -219,17 +236,24 @@ class TachyonRender:
                     and bins.sph_chunks is not None
                 )
                 if use_pallas:
+                    from .accel import build_light_records
                     from .pallas_kernels import gather_chunk_data
 
                     if self._chunk_data_cached is not None:
-                        chunk_data = self._chunk_data_cached
+                        chunk_data, light_records = self._chunk_data_cached
                     else:
                         chunk_data = gather_chunk_data(
                             bins.sph_chunks, scene.sph_center,
                             scene.sph_radius, scene.sph_color,
                         )
-                        self._chunk_data_cached = chunk_data
-                        self._accel_cache = (bins, lb, chunk_data)
+                        # Pallas shadow kernel only covers spheres; scenes
+                        # with cylinders/rings keep the XLA light-grid pass
+                        sphere_only = bins.cyl is None and bins.ring is None
+                        light_records = (
+                            build_light_records(lb, scene) if sphere_only else None
+                        )
+                        self._chunk_data_cached = (chunk_data, light_records)
+                        self._accel_cache = (bins, lb, self._chunk_data_cached)
                     # render in horizontal tile bands to bound HBM usage
                     band_rows = max(1, 2048 // bins.tiles_x)
                     bands = []
@@ -256,6 +280,8 @@ class TachyonRender:
                             bins.tile_px, bins.tiles_x, ty1 - ty0,
                             interpret=(self._backend == "cpu"),
                             ty_offset=ty0, do_flip=False,
+                            light_records=light_records,
+                            light_grid_n=lb.grid,
                         )
                         bands.append(np.asarray(band_img))
                     img_f = np.concatenate(bands, axis=0)[:height][::-1]

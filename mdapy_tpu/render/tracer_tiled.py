@@ -459,7 +459,8 @@ def render_image_tiled(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "width", "height", "perspective", "tile_px", "tiles_x", "tiles_y", "interpret", "do_flip",
+        "cfg", "width", "height", "perspective", "tile_px", "tiles_x", "tiles_y",
+        "interpret", "do_flip", "light_grid_n",
     ),
 )
 def render_image_pallas(
@@ -474,6 +475,8 @@ def render_image_pallas(
     interpret: bool = False,
     ty_offset=0,
     do_flip: bool = True,
+    light_records=None,   # (ldata, offs, cnt) CSR for the Pallas shadow kernel
+    light_grid_n: int = 128,
 ):
     """Opaque-scene renderer: Pallas chunked closest hit + global shading.
 
@@ -548,27 +551,21 @@ def render_image_pallas(
     tcap = _ray_box_texit(o.reshape(-1, 3), d.reshape(-1, 3), lo, hi).reshape(nb, R)
 
     # --- sphere closest hit (Pallas) --------------------------------------
-    best_t, best_slot = closest_hit_spheres_tiles(
+    best_t, best_rec = closest_hit_spheres_tiles(
         o, d, tcap, bins.sph_zmin, chunk_data, eps=cfg.eps, interpret=interpret
     )
-    nchunks, CH = chunk_data.shape[1], chunk_data.shape[3]
-    slot = jnp.maximum(best_slot, 0)
-    sph_ids = bins.sph_chunks.reshape(nb, nchunks * CH)
-    sid = jnp.take_along_axis(sph_ids, slot, axis=1)
-    sid = jnp.where(best_slot >= 0, sid, -1)
 
     # --- cyl/ring merge (per tile, dense small) ---------------------------
     def other_kinds(args):
-        tid1, o1, d1, bt, bid_s = args
+        tid1, o1, d1, bt, rec1 = args
         best_n = jnp.zeros((R, 3), dtype)
         best_c = jnp.zeros((R, 4), dtype)
-        have = bid_s >= 0
-        si = jnp.maximum(bid_s, 0)
+        have = rec1[:, 3] > 0
         hit0 = o1 + jnp.where(have, bt, 0.0)[:, None] * d1
-        n0 = hit0 - scene.sph_center[si]
+        n0 = hit0 - rec1[:, 0:3]
         n0 = n0 / jnp.maximum(jnp.linalg.norm(n0, axis=-1, keepdims=True), 1e-30)
         best_n = jnp.where(have[:, None], n0, best_n)
-        best_c = jnp.where(have[:, None], scene.sph_color[si], best_c)
+        best_c = jnp.where(have[:, None], rec1[:, 4:8], best_c)
         if bins.cyl is not None:
             ids = bins.cyl.cand[tid1]
             ci = jnp.maximum(ids, 0)
@@ -608,16 +605,15 @@ def render_image_pallas(
 
     if bins.cyl is not None or bins.ring is not None:
         best_t, N, col = jax.lax.map(
-            other_kinds, (jnp.arange(nb, dtype=jnp.int32), o, d, best_t, sid)
+            other_kinds, (jnp.arange(nb, dtype=jnp.int32), o, d, best_t, best_rec)
         )
     else:
-        have = sid >= 0
-        si = jnp.maximum(sid, 0)
+        have = best_rec[..., 3] > 0
         hit0 = o + jnp.where(have, best_t, 0.0)[..., None] * d
-        n0 = hit0 - scene.sph_center[si]
+        n0 = hit0 - best_rec[..., 0:3]
         n0 = n0 / jnp.maximum(jnp.linalg.norm(n0, axis=-1, keepdims=True), 1e-30)
         N = jnp.where(have[..., None], n0, 0.0)
-        col = jnp.where(have[..., None], scene.sph_color[si], 0.0)
+        col = jnp.where(have[..., None], best_rec[..., 4:8], 0.0)
 
     # --- global shading ----------------------------------------------------
     missed = best_t >= BIG
@@ -629,15 +625,38 @@ def render_image_pallas(
     lit = (inten > MINCONTRIB) & ~missed
 
     if cfg.shadows_enabled and cfg.direct_light_enabled:
-        def tile_shadow(args):
-            hit1, lit1 = args
-            return jax.lax.cond(
-                jnp.any(lit1),
-                lambda: _shadow_filter_lb(hit1, scene, lb, light, cfg.eps, False),
-                lambda: jnp.ones((R,), dtype),
-            )
+        if light_records is not None:
+            from .pallas_kernels import shadow_filter_tiles
 
-        filt = jax.lax.map(tile_shadow, (hit, lit))
+            ldata, loffs, lcnt = light_records
+            u = hit @ lb.e1 - lb.org[0]
+            v = hit @ lb.e2 - lb.org[1]
+            tau = hit @ lb.L
+            uvt = jnp.stack([u, v, tau], axis=-1)
+            gx = jnp.clip(
+                jnp.floor(u * lb.inv_cell), 0, light_grid_n - 1
+            ).astype(jnp.int32)
+            gy = jnp.clip(
+                jnp.floor(v * lb.inv_cell), 0, light_grid_n - 1
+            ).astype(jnp.int32)
+            cellxy = jnp.stack([gx, gy], axis=-1)
+            filt = shadow_filter_tiles(
+                uvt, cellxy, lit.astype(jnp.int32), ldata, loffs, lcnt,
+                grid_n=light_grid_n, eps=cfg.eps, interpret=interpret,
+            )
+            # spheres handled by the kernel; cyl/ring occluders (rare) would
+            # need the XLA light-grid pass — callers only pass light_records
+            # for sphere-only scenes.
+        else:
+            def tile_shadow(args):
+                hit1, lit1 = args
+                return jax.lax.cond(
+                    jnp.any(lit1),
+                    lambda: _shadow_filter_lb(hit1, scene, lb, light, cfg.eps, False),
+                    lambda: jnp.ones((R,), dtype),
+                )
+
+            filt = jax.lax.map(tile_shadow, (hit, lit))
     else:
         filt = jnp.ones((nb, R), dtype)
 
