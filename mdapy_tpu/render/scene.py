@@ -180,3 +180,34 @@ def build_scene(
         ring_rout=_pad_to(ring_rout, nr, fill=-1.0).astype(dtype),
         ring_color=_pad_to(ring_color, nr).astype(dtype),
     )
+
+
+def scene_from_arrays(positions, colors, radii, dtype=None) -> Scene:
+    """Traceable sphere-only Scene for the differentiable path.
+
+    Unlike :func:`build_scene` (host numpy, filtering + padding), this uses
+    jnp ops end to end so ``jax.grad`` flows from pixels back to positions,
+    radii and colors.  Cylinder/ring slots are dummy (-1 radius) rows."""
+    import jax.numpy as jnp
+
+    pos = jnp.asarray(positions)
+    if dtype is not None:
+        pos = pos.astype(dtype)
+    dt = pos.dtype
+    pos = pos * jnp.asarray(FLIP, dt)
+    col = jnp.asarray(colors, dt)
+    rad = jnp.asarray(radii, dt)
+    k = 8
+    return Scene(
+        sph_center=pos,
+        sph_radius=rad,
+        sph_color=col,
+        cyl_base=jnp.zeros((k, 3), dt),
+        cyl_axis=jnp.ones((k, 3), dt),
+        cyl_radius=jnp.full((k,), -1.0, dt),
+        cyl_color=jnp.zeros((k, 4), dt),
+        ring_center=jnp.zeros((k, 3), dt),
+        ring_normal=jnp.ones((k, 3), dt),
+        ring_rout=jnp.full((k,), -1.0, dt),
+        ring_color=jnp.zeros((k, 4), dt),
+    )
