@@ -73,6 +73,7 @@ class TachyonRender:
         direct_light_intensity: float = 0.9,
         background: tuple = (0.0, 0.0, 0.0),
         seed: int = 0,
+        verbosity: str = "min",
     ):
         backend = backend.lower().strip()
         if backend not in ("tpu", "cpu", "gpu", "auto"):
@@ -99,6 +100,12 @@ class TachyonRender:
         self.use_tiling = True
         # Pallas VMEM closest-hit kernel on the tiled path (opaque, no AO)
         self.use_pallas = backend != "cpu"
+        # per-phase timers (parity with Tachyon's wkf timers / RT_VERB_TIMING,
+        # TachyonOptiX.h:651-679): populated on every render() call
+        if verbosity not in ("min", "timing", "debug"):
+            raise ValueError("verbosity must be 'min', 'timing' or 'debug'")
+        self.verbosity = verbosity
+        self.last_timings: dict = {}
 
     @property
     def backend(self) -> str:
@@ -130,7 +137,18 @@ class TachyonRender:
         transparent: bool = False,
     ) -> Optional[np.ndarray]:
         """Render spheres + optional bond/box cylinders -> (H,W,4) uint8 RGBA."""
+        import time as _time
+
         import jax
+
+        timings: dict = {}
+        self.last_timings = timings
+        _t0 = _time.perf_counter()
+
+        def _mark(phase, start):
+            now = _time.perf_counter()
+            timings[phase] = timings.get(phase, 0.0) + (now - start)
+            return now
 
         positions = np.ascontiguousarray(positions, dtype=np.float64)
         colors = np.ascontiguousarray(colors, dtype=np.float32)
@@ -186,6 +204,7 @@ class TachyonRender:
                        box_color, width, height, dtype)).encode())
         cache_key = h.hexdigest()
 
+        _t0 = _mark("prepare", _t0)
         if getattr(self, "_scene_key", None) == cache_key:
             scene = self._scene_cache
         else:
@@ -208,6 +227,7 @@ class TachyonRender:
                 )
                 self._scene_cache = scene
                 self._scene_key = cache_key
+            _t0 = _mark("scene_build", _t0)
             if cfg.ao_enabled or not self.use_tiling:
                 img_f = render_image(
                     scene,
@@ -230,6 +250,7 @@ class TachyonRender:
                     self._chunk_data_cached = None
                     self._accel_cache = (bins, lb, None)
                     self._accel_key = cache_key
+                    _t0 = _mark("accel_build", _t0)
                 use_pallas = (
                     self.use_pallas
                     and not cfg.transparency
@@ -294,6 +315,7 @@ class TachyonRender:
                         self._seed, bins.tile_px, bins.tiles_x, bins.tiles_y,
                     )
             img_f = np.asarray(img_f)
+        _t0 = _mark("trace", _t0)
 
         img = np.empty((height, width, 4), dtype=np.uint8)
         img[:, :, :3] = quantize(img_f)
@@ -304,6 +326,11 @@ class TachyonRender:
             bg = np.array(cfg.background, dtype=np.float32) * 255.0
             diff = np.abs(img[:, :, :3].astype(np.float32) - bg).max(axis=2)
             img[:, :, 3] = np.where(diff < 1.5, 0, 255).astype(np.uint8)
+        _t0 = _mark("image_out", _t0)
+        if self.verbosity in ("timing", "debug"):
+            total = sum(timings.values())
+            phases = "  ".join(f"{k}={v:.3f}s" for k, v in timings.items())
+            print(f"[TachyonRender] {phases}  total={total:.3f}s")
         if output_figure is not None:
             save_image(output_figure, img)
             return None
