@@ -1,0 +1,622 @@
+"""Fused Pallas render megakernel — the single-pass TPU fast path.
+
+One ``pallas_call`` per frame does everything the band pipeline used to do in
+~10 XLA kernels: ray generation, chunked sphere closest-hit, Phong shading,
+and directional-light shadowing, with the AA-sample mean computed in-register.
+Only the (tiles, 768) RGB image leaves the chip — no (rays, 3) intermediates
+ever touch HBM, which removes the ~2.5 GB/frame of glue traffic the banded
+path paid.
+
+Structure per 16x16 screen tile (grid step handles TILE_GROUP tiles):
+
+  * the tile's depth-sorted candidate chunks ((nchunks, 8, CH) records
+    pre-gathered by ``gather_chunk_data``) stream HBM -> VMEM once, pipelined
+    NBUF tiles deep;
+  * ray state lives as (16, S*P) attribute rows — every per-ray quantity is a
+    lane vector, so raygen/shading run at full lane width and the shadow pass
+    processes ALL AA samples in one (SHW, S*P) sweep;
+  * candidates sit on sublanes as (CH, 1) columns, so the intersection is a
+    dense (CH, P) VPU broadcast and the winning record comes from one
+    (8, CH) x (CH, P) MXU contraction (no gathers anywhere);
+  * the chunk loop runs front-to-back with a per-sample early-exit bound
+    (``needed[s]`` = max over that sample's rays of min(best_t, t_cap)), the
+    tile-batch analog of Tachyon's grid DDA (reference grid.c:479);
+  * shadows reuse the CSR light-grid records (``build_light_records``): the
+    tile's hit points land in a tiny rect of light cells; each cell's
+    descending-far-depth windows stream through VMEM, and the scan floor
+    (shallowest unblocked selected ray) is refreshed after every window so
+    shadowed regions exit right after their first occluder.
+
+AA jitter comes from an in-kernel integer hash (xxhash-style avalanche), so
+the kernel needs no RNG inputs; sample 0 is unjittered, matching the XLA
+paths' convention.  AO and transparency are handled by the fallback paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1e18
+BIG_DEPTH = 1e17
+MINCONTRIB = 1.0 / 512.0
+TILE_GROUP = 8
+P = 256          # pixels per tile (tile_px = 16)
+TILE_PX = 16
+SHW = 128        # shadow window width
+NBUF = 6         # tile-row DMA pipeline depth
+
+__all__ = ["render_image_mega", "build_mega_params"]
+
+
+def build_mega_params(frame, lb, aabb_lo, aabb_hi, cfg, dtype=np.float32):
+    """Pack the per-frame scalars into one (64,) f32 vector (SMEM prefetch)."""
+    p = np.zeros(64, np.float32)
+    p[0:3] = np.asarray(frame["origin"], np.float32)
+    p[3:6] = np.asarray(frame["lowleft"], np.float32)
+    p[6:9] = np.asarray(frame["iplaneright"], np.float32)
+    p[9:12] = np.asarray(frame["iplaneup"], np.float32)
+    p[12:15] = np.asarray(frame["view"], np.float32)
+    p[15:18] = np.asarray(frame["light_dir"], np.float32)
+    if lb is not None:
+        p[18:21] = np.asarray(lb.e1, np.float32)
+        p[21:24] = np.asarray(lb.e2, np.float32)
+        p[24:26] = np.asarray(lb.org, np.float32)
+        p[26] = float(lb.inv_cell)
+    p[27] = float(cfg.direct_light_intensity)
+    p[28:31] = np.asarray(cfg.background, np.float32)
+    p[31:34] = np.asarray(aabb_lo, np.float32)
+    p[34:37] = np.asarray(aabb_hi, np.float32)
+    # pixel-center offset: matches the XLA paths' dynamic_sched convention
+    dynamic_sched = cfg.ao_enabled or (cfg.aa_enabled and cfg.aa_samples > 4)
+    p[37] = 0.0 if dynamic_sched else 1.0
+    return p
+
+
+def _hash_jitter(tile, s, seed, pix_iota):
+    """Deterministic per-(tile, sample, pixel) jitter in [-0.5, 0.5).
+
+    Integer avalanche hash (xxhash/murmur-style finalizer) on the VPU —
+    counter-based like Tachyon's per-pixel RNG, no carried state."""
+    h0 = (
+        tile * jnp.int32(-1640531527)           # 0x9E3779B9
+        + s * jnp.int32(-1028477387)            # 0xC2B2AE35
+        + seed * jnp.int32(374761393)
+    )
+    v = pix_iota * jnp.int32(-2048144789) + h0  # 0x85EBCA6B
+    v = v ^ jax.lax.shift_right_logical(v, jnp.int32(16))
+    v = v * jnp.int32(2127912214)
+    v = v ^ jax.lax.shift_right_logical(v, jnp.int32(15))
+    v = v * jnp.int32(-1028477387)
+    v = v ^ jax.lax.shift_right_logical(v, jnp.int32(16))
+    jx = (v & jnp.int32(0xFFFF)).astype(jnp.float32) * (1.0 / 65536.0) - 0.5
+    jy = (
+        jax.lax.shift_right_logical(v, jnp.int32(16)) & jnp.int32(0xFFFF)
+    ).astype(jnp.float32) * (1.0 / 65536.0) - 0.5
+    return jx, jy
+
+
+# attribute-row indices in the (16, S*P) ray-state scratch
+_DX, _DY, _DZ, _TCAP, _BT = 0, 1, 2, 3, 4
+_INTEN, _LIT, _U, _V, _TAU = 5, 6, 7, 8, 9
+_GX, _GY, _CR, _CG, _CB, _MISS = 10, 11, 12, 13, 14, 15
+# ortho rays stash their per-ray origins in the (otherwise shadow-only)
+# u/v/tau rows until shading overwrites them
+_OX, _OY, _OZ = _U, _V, _TAU
+
+
+def _mega_kernel(
+    params_ref,   # (64,) f32 SMEM — packed per-frame scalars
+    seed_ref,     # (1,) i32 SMEM
+    zmin_ref,     # (nb*nchunks,) f32 SMEM — chunk min depths
+    loffs_ref,    # (ncells,) i32 SMEM — light CSR starts
+    lcnt_ref,     # (ncells,) i32 SMEM — light CSR counts
+    chunks_hbm,   # (nb, nchunks, 8, CH) ANY — candidate records
+    ldata_hbm,    # (8, CAP) ANY — light CSR records [cu, cv, ck, r, key, ...]
+    out_ref,      # (G, 768) VMEM out — [R|G|B] x 256 pixels per tile
+    rowbuf,       # (NBUF, nchunks, 8, CH) VMEM scratch — tile-row pipeline
+    state,        # (16, S*P) VMEM scratch — ray-attribute rows
+    recs,         # (8, S*P) VMEM scratch — best-hit records
+    blocked,      # (1, S*P) VMEM scratch — shadow occlusion flags
+    sbuf,         # (2, 8, SHW) VMEM scratch — shadow window double buffer
+    needed,       # (32,) SMEM f32 scratch — per-sample early-exit bounds
+    rsem,         # (NBUF,) DMA semaphores (tile rows)
+    ssem,         # (2,) DMA semaphores (shadow windows)
+    *,
+    S: int,
+    nchunks: int,
+    CH: int,
+    nb: int,
+    nbp: int,
+    tiles_x: int,
+    grid_n: int,
+    eps: float,
+    perspective: bool,
+    shadows: bool,
+    debug_phases: int = 5,
+):
+    G = TILE_GROUP
+    SP = S * P
+    group = pl.program_id(0)
+    f32 = jnp.float32
+
+    def rowdma(slot, tile):
+        return pltpu.make_async_copy(
+            chunks_hbm.at[jnp.minimum(tile, nb - 1)], rowbuf.at[slot], rsem.at[slot]
+        )
+
+    def live(tile):
+        return (tile < nb) & (zmin_ref[jnp.minimum(tile, nb - 1) * nchunks] < BIG_DEPTH)
+
+    @pl.when(group == 0)
+    def _():
+        for i in range(NBUF - 1):
+            @pl.when(live(i))
+            def _():
+                rowdma(i, i).start()
+
+    # camera / light scalars
+    ox, oy, oz = params_ref[0], params_ref[1], params_ref[2]
+    llx, lly, llz = params_ref[3], params_ref[4], params_ref[5]
+    iprx, ipry, iprz = params_ref[6], params_ref[7], params_ref[8]
+    ipux, ipuy, ipuz = params_ref[9], params_ref[10], params_ref[11]
+    vwx, vwy, vwz = params_ref[12], params_ref[13], params_ref[14]
+    lx, ly, lz = params_ref[15], params_ref[16], params_ref[17]
+    e1x, e1y, e1z = params_ref[18], params_ref[19], params_ref[20]
+    e2x, e2y, e2z = params_ref[21], params_ref[22], params_ref[23]
+    lorgu, lorgv = params_ref[24], params_ref[25]
+    inv_cell = params_ref[26]
+    lightcol = params_ref[27]
+    bgr, bgg, bgb = params_ref[28], params_ref[29], params_ref[30]
+    lox, loy, loz_ = params_ref[31], params_ref[32], params_ref[33]
+    hix, hiy, hiz = params_ref[34], params_ref[35], params_ref[36]
+    off = params_ref[37]
+    seed = seed_ref[0]
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    sub_x = jnp.remainder(pix, TILE_PX).astype(f32)
+    sub_y = (pix // TILE_PX).astype(f32)
+    cand_f = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0).astype(f32)
+
+    def srow(row, s):
+        """One sample's (1, P) lane slice of a state row."""
+        return state[pl.ds(row, 1), pl.ds(pl.multiple_of(s * P, P), P)]
+
+    def set_srow(row, s, val):
+        state[pl.ds(row, 1), pl.ds(pl.multiple_of(s * P, P), P)] = val
+
+    def per_tile(k, _):
+        tile = group * G + k
+        tile_live = live(tile)
+        slot = jax.lax.rem(tile, jnp.int32(NBUF))
+
+        # keep the row pipeline NBUF deep; starts and waits are both
+        # predicated on the SAME liveness test, so every semaphore signal
+        # pairs with exactly one wait
+        @pl.when((tile + NBUF - 1 < nbp) & live(tile + NBUF - 1))
+        def _():
+            rowdma(jax.lax.rem(tile + NBUF - 1, jnp.int32(NBUF)), tile + NBUF - 1).start()
+
+        @pl.when(tile_live)
+        def _():
+            rowdma(slot, tile).wait()
+
+        @pl.when(jnp.logical_not(tile_live) & (tile < nb))
+        def bg_tile():
+            out_ref[pl.ds(k, 1), pl.ds(0, P)] = jnp.full((1, P), bgr, f32)
+            out_ref[pl.ds(k, 1), pl.ds(P, P)] = jnp.full((1, P), bgg, f32)
+            out_ref[pl.ds(k, 1), pl.ds(2 * P, P)] = jnp.full((1, P), bgb, f32)
+
+        @pl.when(tile_live)
+        def live_tile():
+            txf = (tile % tiles_x).astype(f32)
+            tyf = (tile // tiles_x).astype(f32)
+
+            # ---- ray generation: (1, P) lane vectors per sample ------------
+            def raygen(s, _):
+                jx, jy = _hash_jitter(tile, s, seed, pix)
+                nz = jnp.where(s > 0, f32(1.0), f32(0.0))
+                x = txf * TILE_PX + sub_x + off + jx * nz
+                y = tyf * TILE_PX + sub_y + off + jy * nz
+                dx = llx + x * iprx + y * ipux
+                dy = lly + x * ipry + y * ipuy
+                dz = llz + x * iprz + y * ipuz
+                if perspective:
+                    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+                    dx, dy, dz = dx * inv, dy * inv, dz * inv
+                    rox, roy, roz = ox, oy, oz
+                else:
+                    rox, roy, roz = dx, dy, dz
+                    dx = jnp.full((1, P), vwx, f32)
+                    dy = jnp.full((1, P), vwy, f32)
+                    dz = jnp.full((1, P), vwz, f32)
+                    set_srow(_OX, s, rox)
+                    set_srow(_OY, s, roy)
+                    set_srow(_OZ, s, roz)
+                # ray-AABB exit for the early-termination cap
+                def axis_exit(o1, d1, lo1, hi1):
+                    invd = 1.0 / jnp.where(jnp.abs(d1) > 1e-30, d1, 1e-30)
+                    t0 = (lo1 - o1) * invd
+                    t1 = (hi1 - o1) * invd
+                    return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+                n0, f0 = axis_exit(rox, dx, lox, hix)
+                n1, f1 = axis_exit(roy, dy, loy, hiy)
+                n2, f2 = axis_exit(roz, dz, loz_, hiz)
+                tnear = jnp.maximum(jnp.maximum(n0, n1), n2)
+                tfar = jnp.minimum(jnp.minimum(f0, f1), f2)
+                tcap = jnp.where(tfar >= jnp.maximum(tnear, 0.0), tfar, -BIG)
+                set_srow(_DX, s, dx)
+                set_srow(_DY, s, dy)
+                set_srow(_DZ, s, dz)
+                set_srow(_TCAP, s, tcap)
+                set_srow(_BT, s, jnp.full((1, P), BIG, f32))
+                return 0
+
+            if debug_phases >= 2:
+                recs[:, :] = jnp.zeros((8, SP), f32)
+                jax.lax.fori_loop(0, S, raygen, 0)
+                needed[0] = jnp.max(state[pl.ds(_TCAP, 1), :])
+
+            # ---- front-to-back chunk loop, full width over samples ---------
+            def ccond(c):
+                zc = zmin_ref[
+                    jnp.minimum(tile, nb - 1) * nchunks + jnp.minimum(c, nchunks - 1)
+                ]
+                return (c < nchunks) & (zc < needed[0])
+
+            def cbody(c):
+                rec = rowbuf[slot, c]                  # (8, CH)
+                recT = jnp.swapaxes(rec, 0, 1)         # (CH, 8)
+                cx = recT[:, 0:1]
+                cy = recT[:, 1:2]
+                cz = recT[:, 2:3]
+                r = recT[:, 3:4]
+                rlive = r > 0.0
+                dx = state[pl.ds(_DX, 1), :]           # (1, SP)
+                dy = state[pl.ds(_DY, 1), :]
+                dz = state[pl.ds(_DZ, 1), :]
+                bt = state[pl.ds(_BT, 1), :]
+                tcap = state[pl.ds(_TCAP, 1), :]
+                if perspective:
+                    ocx = ox - cx                      # (CH, 1)
+                    ocy = oy - cy
+                    ocz = oz - cz
+                    b = ocx * dx + ocy * dy + ocz * dz  # (CH, SP)
+                    ccb = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                else:
+                    rox = state[pl.ds(_OX, 1), :]
+                    roy = state[pl.ds(_OY, 1), :]
+                    roz = state[pl.ds(_OZ, 1), :]
+                    ocx2 = rox - cx
+                    ocy2 = roy - cy
+                    ocz2 = roz - cz
+                    b = ocx2 * dx + ocy2 * dy + ocz2 * dz
+                    ccb = ocx2 * ocx2 + ocy2 * ocy2 + ocz2 * ocz2 - r * r
+                disc = b * b - ccb
+                ok = (disc >= 0.0) & rlive
+                sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+                t1 = -b - sq
+                t2 = sq - b
+                t = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, BIG))
+                t = jnp.where(ok, t, BIG)
+                tmin = jnp.min(t, axis=0, keepdims=True)      # (1, SP)
+                better = tmin < bt
+                # exclusive one-hot: adjacent spheres can tie in t at seam
+                # pixels; summing two records corrupts the winner
+                is_min = t == tmin
+                cidx = jnp.where(is_min, cand_f, f32(CH))
+                cmin = jnp.min(cidx, axis=0, keepdims=True)
+                onehot = jnp.where(
+                    is_min & (cand_f == cmin), 1.0, 0.0
+                ).astype(f32)
+                rec_sel = jax.lax.dot_general(
+                    rec, onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )                                              # (8, SP)
+                recs[:, :] = jnp.where(better, rec_sel, recs[:, :])
+                btn = jnp.where(better, tmin, bt)
+                state[pl.ds(_BT, 1), :] = btn
+                needed[0] = jnp.max(jnp.minimum(btn, tcap))
+                return c + 1
+
+            if debug_phases >= 3:
+                jax.lax.while_loop(ccond, cbody, jnp.int32(0))
+
+            # ---- shading prep + light-space coords per sample --------------
+            def shade_prep(s, _):
+                dx = srow(_DX, s)
+                dy = srow(_DY, s)
+                dz = srow(_DZ, s)
+                bt = srow(_BT, s)
+                if perspective:
+                    rox, roy, roz = ox, oy, oz
+                else:
+                    rox = srow(_OX, s)
+                    roy = srow(_OY, s)
+                    roz = srow(_OZ, s)
+                sl = pl.ds(pl.multiple_of(s * P, P), P)
+                rwin = recs[pl.ds(3, 1), sl]
+                missed = (bt >= BIG_DEPTH) | (rwin <= 0.0)
+                tsafe = jnp.where(missed, 0.0, bt)
+                hx = rox + tsafe * dx
+                hy = roy + tsafe * dy
+                hz = roz + tsafe * dz
+                nx = hx - recs[pl.ds(0, 1), sl]
+                ny = hy - recs[pl.ds(1, 1), sl]
+                nz2 = hz - recs[pl.ds(2, 1), sl]
+                inv = jax.lax.rsqrt(
+                    jnp.maximum(nx * nx + ny * ny + nz2 * nz2, 1e-30)
+                )
+                nx, ny, nz2 = nx * inv, ny * inv, nz2 * inv
+                facing = nx * dx + ny * dy + nz2 * dz
+                flip = jnp.where(facing > 0.0, -1.0, 1.0)
+                nx, ny, nz2 = nx * flip, ny * flip, nz2 * flip
+                inten = nx * lx + ny * ly + nz2 * lz
+                lit = jnp.where(
+                    (inten > MINCONTRIB) & jnp.logical_not(missed), f32(1.0), f32(0.0)
+                )
+                set_srow(_INTEN, s, inten)
+                set_srow(_LIT, s, lit)
+                set_srow(_CR, s, recs[pl.ds(4, 1), sl])
+                set_srow(_CG, s, recs[pl.ds(5, 1), sl])
+                set_srow(_CB, s, recs[pl.ds(6, 1), sl])
+                set_srow(_MISS, s, jnp.where(missed, f32(1.0), f32(0.0)))
+                if shadows:
+                    u = hx * e1x + hy * e1y + hz * e1z - lorgu
+                    v = hx * e2x + hy * e2y + hz * e2z - lorgv
+                    tau = hx * lx + hy * ly + hz * lz
+                    gx = jnp.clip(
+                        jnp.floor(u * inv_cell), 0, grid_n - 1
+                    )
+                    gy = jnp.clip(
+                        jnp.floor(v * inv_cell), 0, grid_n - 1
+                    )
+                    set_srow(_U, s, u)
+                    set_srow(_V, s, v)
+                    set_srow(_TAU, s, tau)
+                    set_srow(_GX, s, gx)
+                    set_srow(_GY, s, gy)
+                return 0
+
+            if debug_phases >= 4:
+                jax.lax.fori_loop(0, S, shade_prep, 0)
+
+            # ---- shadow pass: light cells in the tile's rect ---------------
+            # full-width rows over all samples at once
+            if shadows and debug_phases >= 5:
+                blocked[:, :] = jnp.zeros((1, SP), f32)
+                lit_all = state[pl.ds(_LIT, 1), :]       # (1, SP)
+                gx_all = state[pl.ds(_GX, 1), :]
+                gy_all = state[pl.ds(_GY, 1), :]
+                tau_all = state[pl.ds(_TAU, 1), :]
+                tau_eps = tau_all + eps
+                u_all = state[pl.ds(_U, 1), :]
+                v_all = state[pl.ds(_V, 1), :]
+                litb = lit_all > 0.0
+                mngx = jnp.min(jnp.where(litb, gx_all, f32(grid_n)))
+                mxgx = jnp.max(jnp.where(litb, gx_all, -1.0))
+                mngy = jnp.min(jnp.where(litb, gy_all, f32(grid_n)))
+                mxgy = jnp.max(jnp.where(litb, gy_all, -1.0))
+                cx0 = mngx.astype(jnp.int32)
+                cy0 = mngy.astype(jnp.int32)
+                nxc = jnp.maximum(mxgx.astype(jnp.int32) - cx0 + 1, 0)
+                nyc = jnp.maximum(mxgy.astype(jnp.int32) - cy0 + 1, 0)
+                ncell = jnp.where(mxgx >= 0.0, nxc * nyc, 0)
+
+                def sdma(slot2, off2):
+                    return pltpu.make_async_copy(
+                        ldata_hbm.at[:, pl.ds(pl.multiple_of(off2, SHW), SHW)],
+                        sbuf.at[slot2],
+                        ssem.at[slot2],
+                    )
+
+                def cell_body(ci, _):
+                    dxc = jax.lax.rem(ci, jnp.maximum(nxc, 1))
+                    dyc = ci // jnp.maximum(nxc, 1)
+                    cgx = (cx0 + dxc).astype(f32)
+                    cgy = (cy0 + dyc).astype(f32)
+                    cell = jnp.clip(
+                        (cy0 + dyc) * grid_n + (cx0 + dxc), 0, grid_n * grid_n - 1
+                    )
+                    off0 = loffs_ref[cell]
+                    cnt = lcnt_ref[cell]
+                    nw = (cnt + (SHW - 1)) // SHW
+                    incell = (gx_all == cgx) & (gy_all == cgy) & litb
+
+                    # scan floor: shallowest unblocked selected ray; refreshed
+                    # after each window so newly-blocked rays stop holding it
+                    def floor_now():
+                        selm = incell & (blocked[:, :] < 0.5)
+                        return jnp.min(jnp.where(selm, tau_all, BIG))
+
+                    mintau0 = floor_now()
+
+                    def wcond(wc):
+                        w, kmax, mintau = wc
+                        return (w < nw) & (kmax > mintau + eps)
+
+                    def wbody(wc):
+                        w, kmax, mintau = wc
+                        slot2 = jax.lax.rem(w, jnp.int32(2))
+                        nxt2 = jax.lax.rem(w + jnp.int32(1), jnp.int32(2))
+
+                        @pl.when(w + 1 < nw)
+                        def _():
+                            sdma(nxt2, off0 + (w + 1) * SHW).start()
+
+                        sdma(slot2, off0 + w * SHW).wait()
+                        srec = sbuf[slot2]                 # (8, SHW)
+                        srecT = jnp.swapaxes(srec, 0, 1)   # (SHW, 8)
+                        cu = srecT[:, 0:1]
+                        cv = srecT[:, 1:2]
+                        ck = srecT[:, 2:3]
+                        sr = srecT[:, 3:4]
+                        srlive = sr > 0.0
+                        du = cu - u_all                    # (SHW, SP)
+                        dv = cv - v_all
+                        s2 = sr * sr - (du * du + dv * dv)
+                        # occludes iff sqrt(s2) > tau + eps - ck; square both
+                        # sides instead of paying a (SHW, SP) sqrt
+                        q = tau_eps - ck
+                        occ = (
+                            (s2 > 0.0) & srlive
+                            & ((q < 0.0) | (s2 > q * q))
+                        )
+                        occf = jnp.max(
+                            jnp.where(occ, f32(1.0), f32(0.0)), axis=0, keepdims=True
+                        )
+                        selg = jnp.where(incell, f32(1.0), f32(0.0))
+                        blocked[:, :] = jnp.maximum(blocked[:, :], selg * occf)
+                        nxt_kmax = srec[4, SHW - 1]
+                        return w + 1, nxt_kmax, floor_now()
+
+                    @pl.when((cnt > 0) & (mintau0 < BIG_DEPTH))
+                    def _():
+                        sdma(0, off0).start()
+                        wf, _, _ = jax.lax.while_loop(
+                            wcond, wbody, (jnp.int32(0), f32(BIG), mintau0)
+                        )
+
+                        # drain the in-flight DMA the loop left unconsumed
+                        @pl.when(wf < nw)
+                        def _():
+                            sdma(jax.lax.rem(wf, jnp.int32(2)),
+                                 off0 + wf * SHW).wait()
+
+                    return 0
+
+                jax.lax.fori_loop(0, ncell, cell_body, 0)
+
+            # ---- final shade + AA mean --------------------------------------
+            def accum(s, acc):
+                ar, ag, ab = acc
+                inten = srow(_INTEN, s)
+                lit = srow(_LIT, s)
+                missed = srow(_MISS, s) > 0.5
+                if shadows and debug_phases >= 5:
+                    filt = 1.0 - blocked[pl.ds(0, 1),
+                                         pl.ds(pl.multiple_of(s * P, P), P)]
+                else:
+                    filt = 1.0
+                diffuse = lit * inten * lightcol * filt
+                shade = 0.8 * diffuse + 0.3
+                cr = srow(_CR, s) * shade
+                cg = srow(_CG, s) * shade
+                cb = srow(_CB, s) * shade
+                cr = jnp.where(missed, bgr, cr)
+                cg = jnp.where(missed, bgg, cg)
+                cb = jnp.where(missed, bgb, cb)
+                return ar + cr, ag + cg, ab + cb
+
+            z = jnp.zeros((1, P), f32)
+            ar, ag, ab = jax.lax.fori_loop(0, S, accum, (z, z, z))
+            inv_s = 1.0 / S
+            out_ref[pl.ds(k, 1), pl.ds(0, P)] = ar * inv_s
+            out_ref[pl.ds(k, 1), pl.ds(P, P)] = ag * inv_s
+            out_ref[pl.ds(k, 1), pl.ds(2 * P, P)] = ab * inv_s
+
+        return 0
+
+    jax.lax.fori_loop(0, G, per_tile, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "width", "height", "tiles_x", "tiles_y", "grid_n",
+        "eps", "perspective", "shadows", "interpret", "debug_phases",
+        "quantized",
+    ),
+)
+def render_image_mega(
+    chunk_data,     # (nb, nchunks, 8, CH)
+    zmin,           # (nb, nchunks)
+    ldata,          # (8, CAP) or None
+    loffs,          # (ncells,) i32 or None
+    lcnt,           # (ncells,) i32 or None
+    params,         # (64,) f32 from build_mega_params
+    seed,           # int
+    S: int,
+    width: int,
+    height: int,
+    tiles_x: int,
+    tiles_y: int,
+    grid_n: int,
+    eps: float,
+    perspective: bool,
+    shadows: bool,
+    interpret: bool = False,
+    debug_phases: int = 5,
+    quantized: bool = False,
+):
+    """Full-frame fused render.
+
+    Returns (height, width, 3) float RGB, or uint8 when ``quantized`` (the
+    on-device serving path — keeps the host transfer at 3 bytes/pixel)."""
+    nb, nchunks, _, CH = chunk_data.shape
+    assert nb == tiles_x * tiles_y
+    G = TILE_GROUP
+    nbp = -(-nb // G) * G
+    if not shadows:
+        ldata = jnp.zeros((8, SHW), jnp.float32)
+        loffs = jnp.zeros((16,), jnp.int32)
+        lcnt = jnp.zeros((16,), jnp.int32)
+    kernel = functools.partial(
+        _mega_kernel,
+        S=S, nchunks=nchunks, CH=CH, nb=nb, nbp=nbp, tiles_x=tiles_x,
+        grid_n=grid_n, eps=eps, perspective=perspective, shadows=shadows,
+        debug_phases=debug_phases,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nbp // G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, 3 * P), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, nchunks, 8, CH), jnp.float32),
+            pltpu.VMEM((16, S * P), jnp.float32),
+            pltpu.VMEM((8, S * P), jnp.float32),
+            pltpu.VMEM((1, S * P), jnp.float32),
+            pltpu.VMEM((2, 8, SHW), jnp.float32),
+            pltpu.SMEM((32,), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nbp, 3 * P), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        params,
+        jnp.asarray([seed], jnp.int32),
+        zmin.reshape(-1).astype(jnp.float32),
+        loffs.astype(jnp.int32),
+        lcnt.astype(jnp.int32),
+        chunk_data,
+        ldata,
+    )
+    img = out[:nb].reshape(tiles_y, tiles_x, 3, TILE_PX, TILE_PX)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(
+        tiles_y * TILE_PX, tiles_x * TILE_PX, 3
+    )
+    img = img[:height, :width][::-1]
+    if quantized:
+        img = jnp.clip(
+            jnp.round(img * 255.0), 0.0, 255.0
+        ).astype(jnp.uint8)
+    return img
