@@ -43,8 +43,34 @@ def _round8(x: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "nbuckets", "K"))
-def _expand_and_bucket(x0, y0, span_w, span_h, nx, cap: int, nbuckets: int, K: int):
+def _seg_tile_cull(seg, item, tx, ty, tile_px):
+    """True where the item's 2D segment footprint misses the tile.
+
+    seg = (x0, y0, x1, y1, rpad, active) in pixel coords per item; inactive
+    items are never culled.  A long thin cylinder's conservative AABB covers
+    most of the screen, but its true footprint is a thin band — point-segment
+    distance from the tile centre kills the false pairs."""
+    sx0, sy0, sx1, sy1, rpad, active = seg
+    cx = (tx.astype(sx0.dtype) + 0.5) * tile_px
+    cy = (ty.astype(sx0.dtype) + 0.5) * tile_px
+    ax, ay = sx0[item], sy0[item]
+    bx, by = sx1[item] - ax, sy1[item] - ay
+    wx, wy = cx - ax, cy - ay
+    denom = jnp.maximum(bx * bx + by * by, 1e-12)
+    t = jnp.clip((wx * bx + wy * by) / denom, 0.0, 1.0)
+    dx = wx - t * bx
+    dy = wy - t * by
+    halfdiag = 0.70711 * tile_px
+    lim = rpad[item] + halfdiag + 1.5
+    miss = dx * dx + dy * dy > lim * lim
+    return active[item] & miss
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "nbuckets", "K", "tile_px"))
+def _expand_and_bucket(
+    x0, y0, span_w, span_h, nx, cap: int, nbuckets: int, K: int,
+    seg=None, tile_px: int = 0,
+):
     """Spans -> sorted (bucket, item) pairs -> per-bucket lists, one pass."""
     sizes = (span_w * span_h).astype(jnp.int32)
     offsets = jnp.cumsum(sizes) - sizes
@@ -58,6 +84,10 @@ def _expand_and_bucket(x0, y0, span_w, span_h, nx, cap: int, nbuckets: int, K: i
     ly = local // w
     bucket = (y0[item] + ly) * nx + (x0[item] + lx)
     valid = pair_idx < total
+    if seg is not None:
+        valid = valid & ~_seg_tile_cull(
+            seg, item, x0[item] + lx, y0[item] + ly, tile_px
+        )
     bucket = jnp.where(valid, bucket, nbuckets).astype(jnp.int32)
     order = jnp.argsort(bucket)
     bucket_sorted = bucket[order]
@@ -79,8 +109,11 @@ def _pair_stats(span_w, span_h):
     return jnp.sum((span_w * span_h).astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "nbuckets"))
-def _count_only(x0, y0, span_w, span_h, nx, cap: int, nbuckets: int):
+@functools.partial(jax.jit, static_argnames=("cap", "nbuckets", "tile_px"))
+def _count_only(
+    x0, y0, span_w, span_h, nx, cap: int, nbuckets: int,
+    seg=None, tile_px: int = 0,
+):
     """Max per-bucket count for capacity sizing (shares code path shape)."""
     sizes = (span_w * span_h).astype(jnp.int32)
     offsets = jnp.cumsum(sizes) - sizes
@@ -94,6 +127,10 @@ def _count_only(x0, y0, span_w, span_h, nx, cap: int, nbuckets: int):
     ly = local // w
     bucket = (y0[item] + ly) * nx + (x0[item] + lx)
     valid = pair_idx < total
+    if seg is not None:
+        valid = valid & ~_seg_tile_cull(
+            seg, item, x0[item] + lx, y0[item] + ly, tile_px
+        )
     bucket = jnp.where(valid, bucket, nbuckets).astype(jnp.int32)
     counts = jnp.zeros(nbuckets + 1, jnp.int32).at[bucket].add(1)
     return jnp.max(counts[:nbuckets])
@@ -187,13 +224,46 @@ def _screen_spans(
     return tx0, ty0, span_w, span_h
 
 
-def _build_kind(x0, y0, sw, sh, nx, nbuckets) -> KindBins:
+def _build_kind(x0, y0, sw, sh, nx, nbuckets, seg=None, tile_px: int = 0) -> KindBins:
     total = int(_pair_stats(sw, sh))
     cap = _round_pow2(total)
-    kmax = int(_count_only(x0, y0, sw, sh, nx, cap, nbuckets))
+    kmax = int(_count_only(x0, y0, sw, sh, nx, cap, nbuckets, seg, tile_px))
     K = _round8(kmax)
-    cand, count = _expand_and_bucket(x0, y0, sw, sh, nx, cap, nbuckets, K)
+    cand, count = _expand_and_bucket(
+        x0, y0, sw, sh, nx, cap, nbuckets, K, seg, tile_px
+    )
     return KindBins(cand, count)
+
+
+@functools.partial(jax.jit, static_argnames=("perspective",))
+def _cyl_screen_seg(
+    base, axis, radii, origin, right, up2, view, left, bottom, psx, psy,
+    perspective: bool,
+):
+    """Projected 2D segment (pixel coords) + radius pad per cylinder.
+
+    Endpoints behind the camera mark the segment inactive (no culling)."""
+    e0 = base - origin
+    e1 = base + axis - origin
+    def proj(rel):
+        xc = rel @ right
+        yc = rel @ up2
+        zc = rel @ view
+        if perspective:
+            zs = jnp.maximum(zc, 1e-6)
+            return (xc / zs - left) / psx, (yc / zs - bottom) / psy, zc
+        return (xc - left) / psx, (yc - bottom) / psy, jnp.ones_like(zc)
+    x0p, y0p, z0 = proj(e0)
+    x1p, y1p, z1 = proj(e1)
+    ps = jnp.minimum(psx, psy)
+    if perspective:
+        zmin = jnp.maximum(jnp.minimum(z0, z1), 1e-6)
+        rpad = radii / (zmin * ps)
+        active = (z0 > 1e-6) & (z1 > 1e-6) & (radii > 0)
+    else:
+        rpad = radii / ps
+        active = radii > 0
+    return x0p, y0p, x1p, y1p, rpad, active
 
 
 def _prim_bounds(scene, kind: str):
@@ -259,7 +329,18 @@ def build_screen_bins(scene, frame, width: int, height: int, tile_px: int = 16) 
             jnp.asarray(psx, dtype), jnp.asarray(psy, dtype),
             width, height, tile_px, bool(frame["perspective"]),
         )
-        out[kind] = _build_kind(tx0, ty0, sw, sh, tiles_x, nb)
+        seg = None
+        if kind == "cyl":
+            # a long edge's bounding sphere blankets the screen; cull the
+            # rect pairs down to the thin projected band
+            seg = _cyl_screen_seg(
+                scene.cyl_base, scene.cyl_axis, scene.cyl_radius,
+                origin, right, up2, view,
+                jnp.asarray(left, dtype), jnp.asarray(bottom, dtype),
+                jnp.asarray(psx, dtype), jnp.asarray(psy, dtype),
+                bool(frame["perspective"]),
+            )
+        out[kind] = _build_kind(tx0, ty0, sw, sh, tiles_x, nb, seg, tile_px)
     sph_chunks = sph_zmin = None
     if out["sph"] is not None:
         cand = out["sph"].cand
@@ -397,6 +478,109 @@ def build_light_records(lb: "LightBins", scene):
         cand, scene.sph_center, scene.sph_radius,
         lb.e1, lb.e2, lb.org, lb.L, cap,
     )
+
+
+@jax.jit
+def _other_records(scene):
+    """16-row records for every cylinder and ring in the scene.
+
+    Rows: 0-2 position (cyl base / ring center), 3 radius (cyl rad /
+    ring rout), 4-7 rgba, 8-10 unit axis (cyl axis direction / ring plane
+    normal), 11 type (1 cyl, 2 ring), 12 cyl length, 13-15 zero.  Dead
+    primitives carry radius -1."""
+    cb, ca = scene.cyl_base, scene.cyl_axis
+    alen = jnp.linalg.norm(ca, axis=-1)
+    ahat = ca / jnp.maximum(alen, 1e-30)[:, None]
+    crad = jnp.where(scene.cyl_radius > 0, scene.cyl_radius, -1.0)
+    nc = cb.shape[0]
+    crec = jnp.concatenate([
+        cb, crad[:, None], scene.cyl_color, ahat,
+        jnp.full((nc, 1), 1.0, cb.dtype), alen[:, None],
+        jnp.zeros((nc, 3), cb.dtype),
+    ], axis=1)                                            # (nc, 16)
+    rc, rn = scene.ring_center, scene.ring_normal
+    rrad = jnp.where(scene.ring_rout > 0, scene.ring_rout, -1.0)
+    nr = rc.shape[0]
+    rrec = jnp.concatenate([
+        rc, rrad[:, None], scene.ring_color, rn,
+        jnp.full((nr, 1), 2.0, rc.dtype), jnp.zeros((nr, 1), rc.dtype),
+        jnp.zeros((nr, 3), rc.dtype),
+    ], axis=1)                                            # (nr, 16)
+    return jnp.concatenate([crec, rrec], axis=0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("KO",))
+def _gather_other(cyl_cand, ring_cand, allrec, ncyl: int, KO: int):
+    """Per-tile combined cyl+ring candidate records (nb, 16, KO) + counts."""
+    ids = jnp.concatenate(
+        [cyl_cand, jnp.where(ring_cand >= 0, ring_cand + ncyl, -1)], axis=1
+    )
+    # compact the -1 padding of the two lists together (stable order)
+    order = jnp.argsort(jnp.where(ids >= 0, 0, 1), axis=1, stable=True)
+    ids = jnp.take_along_axis(ids, order, axis=1)[:, :KO]
+    pad = KO - ids.shape[1]
+    if pad > 0:
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+    live = ids >= 0
+    rec = allrec[jnp.maximum(ids, 0)]                     # (nb, KO, 16)
+    rec = jnp.where(live[..., None], rec, 0.0)
+    rec = rec.at[..., 3].set(jnp.where(live, rec[..., 3], -1.0))
+    count = jnp.sum(live, axis=1).astype(jnp.int32)
+    return jnp.swapaxes(rec, 1, 2), count                 # (nb, 16, KO)
+
+
+def gather_other_records(bins: "ScreenBins", scene, lb: "LightBins" = None):
+    """Megakernel inputs for the non-sphere primitives.
+
+    Returns (other_data (nb,16,KO) f32, other_count (nb,) i32,
+    occ_recs (16, KG) f32, n_occ int) or None when the scene has neither
+    cylinders nor rings.  ``occ_recs`` is the dense global occluder list for
+    exact cyl/ring shadow tests (small scenes: box edges + sparse bonds);
+    its rgba rows are repurposed as light-space cull data:
+    row 4 = lateral u, 5 = lateral v, 6 = lateral bound radius,
+    7 = far-depth key (c.L + bound)."""
+    if bins.cyl is None and bins.ring is None:
+        return None
+    nb = bins.tiles_x * bins.tiles_y
+    neg = -jnp.ones((nb, 8), jnp.int32)
+    cyl_cand = bins.cyl.cand if bins.cyl is not None else neg
+    ring_cand = bins.ring.cand if bins.ring is not None else neg
+    ncyl = int(scene.cyl_base.shape[0])
+    allrec = _other_records(scene)
+    kmax = int(jnp.max(
+        jnp.sum(cyl_cand >= 0, axis=1) + jnp.sum(ring_cand >= 0, axis=1)
+    ))
+    # the megakernel DMAs (16, KO) slices — the minor dim must be a full
+    # 128-lane tile
+    KO = max(128, -(-kmax // 128) * 128)
+    other_data, other_count = _gather_other(cyl_cand, ring_cand, allrec, ncyl, KO)
+
+    rec = np.asarray(allrec)
+    live = rec[:, 3] > 0
+    n_occ = int(live.sum())
+    rec = rec[np.argsort(~live, kind="stable")]
+    kg = max(128, -(-max(n_occ, 1) // 128) * 128)
+    if rec.shape[0] < kg:
+        rec = np.pad(rec, ((0, kg - rec.shape[0]), (0, 0)))
+    rec = rec[:kg].copy()
+    if lb is not None and n_occ:
+        e1 = np.asarray(lb.e1, np.float32)
+        e2 = np.asarray(lb.e2, np.float32)
+        L = np.asarray(lb.L, np.float32)
+        org = np.asarray(lb.org, np.float32)
+        p0 = rec[:, 0:3]
+        is_cyl = rec[:, 11:12] == 1.0
+        # lateral (light-space) footprint = projected 2D SEGMENT + radius:
+        # exact for cylinders (a bounding sphere of a long edge covers the
+        # whole grid); rings use a degenerate segment at the centre
+        p1 = p0 + np.where(is_cyl, rec[:, 8:11] * rec[:, 12:13], 0.0)
+        rec[:, 4] = p0 @ e1 - org[0]
+        rec[:, 5] = p0 @ e2 - org[1]
+        rec[:, 13] = p1 @ e1 - org[0]
+        rec[:, 14] = p1 @ e2 - org[1]
+        rec[:, 6] = rec[:, 3]                     # lateral pad = radius
+        rec[:, 7] = np.maximum(p0 @ L, p1 @ L) + rec[:, 3]
+    return other_data, other_count, jnp.asarray(rec.T), n_occ
 
 
 @jax.jit

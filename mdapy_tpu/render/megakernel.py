@@ -116,16 +116,21 @@ def _mega_kernel(
     zmin_ref,     # (nb*nchunks,) f32 SMEM — chunk min depths
     loffs_ref,    # (ncells,) i32 SMEM — light CSR starts
     lcnt_ref,     # (ncells,) i32 SMEM — light CSR counts
+    ocnt_ref,     # (nb,) i32 SMEM — per-tile cyl/ring candidate counts
     chunks_hbm,   # (nb, nchunks, 8, CH) ANY — candidate records
     ldata_hbm,    # (8, CAP) ANY — light CSR records [cu, cv, ck, r, key, ...]
+    other_hbm,    # (nb, 16, KO) ANY — per-tile cyl/ring records
+    occ_ref,      # (16, KG) VMEM — global cyl/ring occluder records
     out_ref,      # (G, 768) VMEM out — [R|G|B] x 256 pixels per tile
     rowbuf,       # (NBUF, nchunks, 8, CH) VMEM scratch — tile-row pipeline
+    obuf,         # (2, 16, KO) VMEM scratch — cyl/ring row double buffer
     state,        # (16, S*P) VMEM scratch — ray-attribute rows
-    recs,         # (8, S*P) VMEM scratch — best-hit records
+    recs,         # (16, S*P) VMEM scratch — best-hit records
     blocked,      # (1, S*P) VMEM scratch — shadow occlusion flags
     sbuf,         # (2, 8, SHW) VMEM scratch — shadow window double buffer
     needed,       # (32,) SMEM f32 scratch — per-sample early-exit bounds
     rsem,         # (NBUF,) DMA semaphores (tile rows)
+    osem,         # (2,) DMA semaphores (cyl/ring rows)
     ssem,         # (2,) DMA semaphores (shadow windows)
     *,
     S: int,
@@ -138,6 +143,8 @@ def _mega_kernel(
     eps: float,
     perspective: bool,
     shadows: bool,
+    other: bool,
+    n_occ: int,
     debug_phases: int = 5,
 ):
     G = TILE_GROUP
@@ -150,15 +157,29 @@ def _mega_kernel(
             chunks_hbm.at[jnp.minimum(tile, nb - 1)], rowbuf.at[slot], rsem.at[slot]
         )
 
-    def live(tile):
+    def sph_live(tile):
         return (tile < nb) & (zmin_ref[jnp.minimum(tile, nb - 1) * nchunks] < BIG_DEPTH)
+
+    def oth_live(tile):
+        if not other:
+            return jnp.bool_(False) & (tile < nb)
+        return (tile < nb) & (ocnt_ref[jnp.minimum(tile, nb - 1)] > 0)
+
+    def live(tile):
+        return sph_live(tile) | oth_live(tile)
+
+    def odma(slot, tile):
+        return pltpu.make_async_copy(
+            other_hbm.at[jnp.minimum(tile, nb - 1)], obuf.at[slot], osem.at[slot]
+        )
 
     @pl.when(group == 0)
     def _():
         for i in range(NBUF - 1):
-            @pl.when(live(i))
+            @pl.when(sph_live(i))
             def _():
                 rowdma(i, i).start()
+        pass
 
     # camera / light scalars
     ox, oy, oz = params_ref[0], params_ref[1], params_ref[2]
@@ -193,16 +214,24 @@ def _mega_kernel(
     def per_tile(k, _):
         tile = group * G + k
         tile_live = live(tile)
+        sphl = sph_live(tile)
+        othl = oth_live(tile)
         slot = jax.lax.rem(tile, jnp.int32(NBUF))
+        oslot = jax.lax.rem(tile, jnp.int32(2))
 
-        # keep the row pipeline NBUF deep; starts and waits are both
-        # predicated on the SAME liveness test, so every semaphore signal
-        # pairs with exactly one wait
-        @pl.when((tile + NBUF - 1 < nbp) & live(tile + NBUF - 1))
+        # keep the row pipelines deep; starts and waits are both predicated
+        # on the SAME liveness test, so every semaphore signal pairs with
+        # exactly one wait
+        @pl.when((tile + NBUF - 1 < nbp) & sph_live(tile + NBUF - 1))
         def _():
             rowdma(jax.lax.rem(tile + NBUF - 1, jnp.int32(NBUF)), tile + NBUF - 1).start()
 
-        @pl.when(tile_live)
+        if other and debug_phases >= 3:  # paired with the other_pass wait
+            @pl.when(othl)
+            def _():
+                odma(oslot, tile).start()
+
+        @pl.when(sphl)
         def _():
             rowdma(slot, tile).wait()
 
@@ -258,7 +287,7 @@ def _mega_kernel(
                 return 0
 
             if debug_phases >= 2:
-                recs[:, :] = jnp.zeros((8, SP), f32)
+                recs[:, :] = jnp.zeros((16 if other else 8, SP), f32)
                 jax.lax.fori_loop(0, S, raygen, 0)
                 needed[0] = jnp.max(state[pl.ds(_TCAP, 1), :])
 
@@ -318,7 +347,11 @@ def _mega_kernel(
                     rec, onehot, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
                 )                                              # (8, SP)
-                recs[:, :] = jnp.where(better, rec_sel, recs[:, :])
+                # rows 8+ (axis/type) stay zero = sphere: the cyl/ring pass
+                # runs strictly AFTER this loop, so a sphere win never needs
+                # to reset them
+                old8 = recs[pl.ds(0, 8), :]
+                recs[pl.ds(0, 8), :] = jnp.where(better, rec_sel, old8)
                 btn = jnp.where(better, tmin, bt)
                 state[pl.ds(_BT, 1), :] = btn
                 needed[0] = jnp.max(jnp.minimum(btn, tcap))
@@ -326,6 +359,92 @@ def _mega_kernel(
 
             if debug_phases >= 3:
                 jax.lax.while_loop(ccond, cbody, jnp.int32(0))
+
+            # ---- dense cyl/ring pass (small per-tile candidate lists) ------
+            if other and debug_phases >= 3:
+                @pl.when(othl)
+                def other_pass():
+                    odma(oslot, tile).wait()
+                    orec = obuf[oslot]                     # (16, KO)
+                    orecT = jnp.swapaxes(orec, 0, 1)       # (KO, 16)
+                    px = orecT[:, 0:1]
+                    py = orecT[:, 1:2]
+                    pz = orecT[:, 2:3]
+                    rad = orecT[:, 3:4]
+                    axx = orecT[:, 8:9]
+                    axy = orecT[:, 9:10]
+                    axz = orecT[:, 10:11]
+                    typ = orecT[:, 11:12]
+                    alen = orecT[:, 12:13]
+                    rad_live = rad > 0.0
+                    dx = state[pl.ds(_DX, 1), :]           # (1, SP)
+                    dy = state[pl.ds(_DY, 1), :]
+                    dz = state[pl.ds(_DZ, 1), :]
+                    bt = state[pl.ds(_BT, 1), :]
+                    if perspective:
+                        ocx = ox - px                      # (KO, 1)
+                        ocy = oy - py
+                        ocz = oz - pz
+                    else:
+                        ocx = state[pl.ds(_OX, 1), :] - px  # (KO, SP)
+                        ocy = state[pl.ds(_OY, 1), :] - py
+                        ocz = state[pl.ds(_OZ, 1), :] - pz
+                    oca = ocx * axx + ocy * axy + ocz * axz
+                    dda = axx * dx + axy * dy + axz * dz   # (KO, SP)
+                    # cylinder body — stable perpendicular-vector form
+                    # (see tracer._cyl_t: the `1 - dda^2` form cancels in f32
+                    # for rays nearly parallel to long thin box edges)
+                    dpx = dx - dda * axx
+                    dpy = dy - dda * axy
+                    dpz = dz - dda * axz
+                    opx = ocx - oca * axx
+                    opy = ocy - oca * axy
+                    opz = ocz - oca * axz
+                    a2 = dpx * dpx + dpy * dpy + dpz * dpz
+                    bq = opx * dpx + opy * dpy + opz * dpz
+                    cq = opx * opx + opy * opy + opz * opz - rad * rad
+                    disc = bq * bq - a2 * cq
+                    live_c = (typ == 1.0) & rad_live & (disc >= 0.0) & (a2 > 1e-12)
+                    inv_a2 = 1.0 / jnp.where(a2 > 1e-12, a2, 1.0)
+                    sq = jnp.sqrt(jnp.where(live_c, disc, 0.0))
+                    t1 = (-bq - sq) * inv_a2
+                    t2 = (-bq + sq) * inv_a2
+                    s1 = oca + t1 * dda
+                    s2 = oca + t2 * dda
+                    ok1 = live_c & (t1 > eps) & (s1 >= 0.0) & (s1 <= alen)
+                    ok2 = live_c & (t2 > eps) & (s2 >= 0.0) & (s2 <= alen)
+                    tc = jnp.where(ok1, t1, jnp.where(ok2, t2, BIG))
+                    # ring (disc in the plane with normal = axis rows)
+                    dn = dda
+                    tr0 = -oca / jnp.where(jnp.abs(dn) > 1e-12, dn, 1.0)
+                    rx = ocx + tr0 * dx
+                    ry = ocy + tr0 * dy
+                    rz = ocz + tr0 * dz
+                    rho2 = rx * rx + ry * ry + rz * rz
+                    okr = (
+                        (typ == 2.0) & rad_live & (jnp.abs(dn) > 1e-12)
+                        & (tr0 > eps) & (rho2 <= rad * rad)
+                    )
+                    t = jnp.where(okr, tr0, tc)
+                    tmin = jnp.min(t, axis=0, keepdims=True)
+                    better = tmin < bt
+                    is_min = t == tmin
+                    oidx = jax.lax.broadcasted_iota(
+                        jnp.int32, (t.shape[0], 1), 0
+                    ).astype(f32)
+                    omin = jnp.min(
+                        jnp.where(is_min, oidx, f32(t.shape[0])),
+                        axis=0, keepdims=True,
+                    )
+                    onehot = jnp.where(
+                        is_min & (oidx == omin), 1.0, 0.0
+                    ).astype(f32)
+                    rec_sel = jax.lax.dot_general(
+                        orec, onehot, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )                                      # (16, SP)
+                    recs[:, :] = jnp.where(better, rec_sel, recs[:, :])
+                    state[pl.ds(_BT, 1), :] = jnp.where(better, tmin, bt)
 
             # ---- shading prep + light-space coords per sample --------------
             def shade_prep(s, _):
@@ -349,6 +468,22 @@ def _mega_kernel(
                 nx = hx - recs[pl.ds(0, 1), sl]
                 ny = hy - recs[pl.ds(1, 1), sl]
                 nz2 = hz - recs[pl.ds(2, 1), sl]
+                if other:
+                    # type-selected normal: sphere = radial; cylinder =
+                    # radial minus axis component; ring = plane normal
+                    typ = recs[pl.ds(11, 1), sl]
+                    axx = recs[pl.ds(8, 1), sl]
+                    axy = recs[pl.ds(9, 1), sl]
+                    axz = recs[pl.ds(10, 1), sl]
+                    sax = nx * axx + ny * axy + nz2 * axz
+                    iscyl = typ == 1.0
+                    nx = jnp.where(iscyl, nx - sax * axx, nx)
+                    ny = jnp.where(iscyl, ny - sax * axy, ny)
+                    nz2 = jnp.where(iscyl, nz2 - sax * axz, nz2)
+                    isring = typ == 2.0
+                    nx = jnp.where(isring, axx, nx)
+                    ny = jnp.where(isring, axy, ny)
+                    nz2 = jnp.where(isring, axz, nz2)
                 inv = jax.lax.rsqrt(
                     jnp.maximum(nx * nx + ny * ny + nz2 * nz2, 1e-30)
                 )
@@ -381,6 +516,12 @@ def _mega_kernel(
                     set_srow(_TAU, s, tau)
                     set_srow(_GX, s, gx)
                     set_srow(_GY, s, gy)
+                    if other and n_occ > 0:
+                        # the dense occluder pass needs 3D hit points; the
+                        # direction rows are dead from here on, so reuse them
+                        set_srow(_DX, s, hx)
+                        set_srow(_DY, s, hy)
+                        set_srow(_DZ, s, hz)
                 return 0
 
             if debug_phases >= 4:
@@ -492,6 +633,108 @@ def _mega_kernel(
 
                 jax.lax.fori_loop(0, ncell, cell_body, 0)
 
+                # ---- dense cyl/ring occluders (global list, tile-culled) ----
+                if other and n_occ > 0:
+                    occT = jnp.swapaxes(occ_ref[:, :], 0, 1)   # (KG, 16)
+                    umin_t = jnp.min(jnp.where(litb, u_all, BIG))
+                    umax_t = jnp.max(jnp.where(litb, u_all, -BIG))
+                    vmin_t = jnp.min(jnp.where(litb, v_all, BIG))
+                    vmax_t = jnp.max(jnp.where(litb, v_all, -BIG))
+                    taumin_t = jnp.min(jnp.where(litb, tau_all, BIG))
+                    # segment-vs-rect cull in light space: distance from the
+                    # tile's uv-rect centre to the occluder's 2D segment
+                    gu0 = occT[:, 4:5]
+                    gv0 = occT[:, 5:6]
+                    gu1 = occT[:, 13:14]
+                    gv1 = occT[:, 14:15]
+                    grb = occT[:, 6:7]
+                    gkey = occT[:, 7:8]
+                    galive = occT[:, 3:4] > 0.0
+                    ucx = 0.5 * (umin_t + umax_t)
+                    vcx = 0.5 * (vmin_t + vmax_t)
+                    bx = gu1 - gu0
+                    by = gv1 - gv0
+                    wx = ucx - gu0
+                    wy = vcx - gv0
+                    tseg = jnp.clip(
+                        (wx * bx + wy * by)
+                        / jnp.maximum(bx * bx + by * by, 1e-12),
+                        0.0, 1.0,
+                    )
+                    dxs = wx - tseg * bx
+                    dys = wy - tseg * by
+                    halfdiag = 0.5 * jnp.sqrt(
+                        (umax_t - umin_t) ** 2 + (vmax_t - vmin_t) ** 2
+                    )
+                    lim = grb + halfdiag + eps
+                    hit_tile = (
+                        galive
+                        & (dxs * dxs + dys * dys <= lim * lim)
+                        & (gkey > taumin_t + eps)
+                    )
+                    any_occ = jnp.max(jnp.where(hit_tile, 1.0, 0.0))
+
+                    @pl.when((any_occ > 0.0) & (mxgx >= 0.0))
+                    def dense_occluders():
+                        px = occT[:, 0:1]
+                        py = occT[:, 1:2]
+                        pz = occT[:, 2:3]
+                        rad = occT[:, 3:4]
+                        axx = occT[:, 8:9]
+                        axy = occT[:, 9:10]
+                        axz = occT[:, 10:11]
+                        typ = occT[:, 11:12]
+                        alen = occT[:, 12:13]
+                        hx = state[pl.ds(_DX, 1), :]       # hit points (1, SP)
+                        hy = state[pl.ds(_DY, 1), :]
+                        hz = state[pl.ds(_DZ, 1), :]
+                        ocx = hx - px                      # (KG, SP)
+                        ocy = hy - py
+                        ocz = hz - pz
+                        oca = ocx * axx + ocy * axy + ocz * axz
+                        dda = axx * lx + axy * ly + axz * lz  # (KG, 1)
+                        # stable perpendicular-vector form (see tracer._cyl_t)
+                        dpx = lx - dda * axx                  # (KG, 1)
+                        dpy = ly - dda * axy
+                        dpz = lz - dda * axz
+                        opx = ocx - oca * axx                 # (KG, SP)
+                        opy = ocy - oca * axy
+                        opz = ocz - oca * axz
+                        a2 = dpx * dpx + dpy * dpy + dpz * dpz
+                        bq = opx * dpx + opy * dpy + opz * dpz
+                        cq = opx * opx + opy * opy + opz * opz - rad * rad
+                        disc = bq * bq - a2 * cq
+                        live_c = (
+                            hit_tile & (typ == 1.0) & (disc >= 0.0) & (a2 > 1e-12)
+                        )
+                        inv_a2 = 1.0 / jnp.where(a2 > 1e-12, a2, 1.0)
+                        sq = jnp.sqrt(jnp.where(live_c, disc, 0.0))
+                        t1 = (-bq - sq) * inv_a2
+                        t2 = (-bq + sq) * inv_a2
+                        s1 = oca + t1 * dda
+                        s2 = oca + t2 * dda
+                        occ_c = live_c & (
+                            ((t1 > eps) & (s1 >= 0.0) & (s1 <= alen))
+                            | ((t2 > eps) & (s2 >= 0.0) & (s2 <= alen))
+                        )
+                        dn = dda
+                        tr0 = -oca / jnp.where(jnp.abs(dn) > 1e-12, dn, 1.0)
+                        rx = ocx + tr0 * lx
+                        ry = ocy + tr0 * ly
+                        rz = ocz + tr0 * lz
+                        rho2 = rx * rx + ry * ry + rz * rz
+                        occ_r = (
+                            hit_tile & (typ == 2.0) & (jnp.abs(dn) > 1e-12)
+                            & (tr0 > eps) & (rho2 <= rad * rad)
+                        )
+                        occf = jnp.max(
+                            jnp.where(occ_c | occ_r, f32(1.0), f32(0.0)),
+                            axis=0, keepdims=True,
+                        )
+                        blocked[:, :] = jnp.maximum(
+                            blocked[:, :], lit_all * occf
+                        )
+
             # ---- final shade + AA mean --------------------------------------
             def accum(s, acc):
                 ar, ag, ab = acc
@@ -530,7 +773,7 @@ def _mega_kernel(
     static_argnames=(
         "S", "width", "height", "tiles_x", "tiles_y", "grid_n",
         "eps", "perspective", "shadows", "interpret", "debug_phases",
-        "quantized",
+        "quantized", "n_occ",
     ),
 )
 def render_image_mega(
@@ -553,6 +796,10 @@ def render_image_mega(
     interpret: bool = False,
     debug_phases: int = 5,
     quantized: bool = False,
+    other_data=None,     # (nb, 16, KO) cyl/ring records or None
+    other_count=None,    # (nb,) i32
+    occ_recs=None,       # (16, KG) global cyl/ring occluders
+    n_occ: int = 0,
 ):
     """Full-frame fused render.
 
@@ -566,30 +813,42 @@ def render_image_mega(
         ldata = jnp.zeros((8, SHW), jnp.float32)
         loffs = jnp.zeros((16,), jnp.int32)
         lcnt = jnp.zeros((16,), jnp.int32)
+    other = other_data is not None
+    if not other:
+        other_data = jnp.zeros((1, 16, 8), jnp.float32)
+        other_count = jnp.zeros((max(nb, 1),), jnp.int32)
+        occ_recs = jnp.zeros((16, 8), jnp.float32)
+        n_occ = 0
+    KO = other_data.shape[2]
     kernel = functools.partial(
         _mega_kernel,
         S=S, nchunks=nchunks, CH=CH, nb=nb, nbp=nbp, tiles_x=tiles_x,
         grid_n=grid_n, eps=eps, perspective=perspective, shadows=shadows,
+        other=other, n_occ=(n_occ if shadows else 0),
         debug_phases=debug_phases,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(nbp // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((G, 3 * P), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((NBUF, nchunks, 8, CH), jnp.float32),
+            pltpu.VMEM((2, 16, KO), jnp.float32),
             pltpu.VMEM((16, S * P), jnp.float32),
-            pltpu.VMEM((8, S * P), jnp.float32),
+            pltpu.VMEM((16 if other else 8, S * P), jnp.float32),
             pltpu.VMEM((1, S * P), jnp.float32),
             pltpu.VMEM((2, 8, SHW), jnp.float32),
             pltpu.SMEM((32,), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -607,8 +866,11 @@ def render_image_mega(
         zmin.reshape(-1).astype(jnp.float32),
         loffs.astype(jnp.int32),
         lcnt.astype(jnp.int32),
+        other_count.astype(jnp.int32),
         chunk_data,
         ldata,
+        other_data,
+        occ_recs.astype(jnp.float32),
     )
     img = out[:nb].reshape(tiles_y, tiles_x, 3, TILE_PX, TILE_PX)
     img = img.transpose(0, 3, 1, 4, 2).reshape(

@@ -299,17 +299,26 @@ class TachyonRender:
                     and bins.sph_chunks is not None
                 )
                 sphere_only = bins.cyl is None and bins.ring is None
+                # cyl/ring scenes run in the megakernel too while the dense
+                # per-tile lists stay small (box edges, sparse bonds); heavy
+                # bond scenes keep the chunked banded path
+                k_other = (
+                    (0 if bins.cyl is None else bins.cyl.cand.shape[1])
+                    + (0 if bins.ring is None else bins.ring.cand.shape[1])
+                )
                 use_mega = (
-                    use_pallas and sphere_only and bins.tile_px == 16
-                    and cfg.direct_light_enabled
+                    use_pallas and bins.sph_chunks is not None
+                    and bins.tile_px == 16 and cfg.direct_light_enabled
+                    and (sphere_only or k_other <= 512)
                 )
                 if use_mega:
-                    from .accel import build_light_records
+                    from .accel import build_light_records, gather_other_records
                     from .megakernel import build_mega_params, render_image_mega
                     from .pallas_kernels import gather_chunk_data
 
                     if self._chunk_data_cached is not None:
-                        chunk_data, light_records, params = self._chunk_data_cached
+                        (chunk_data, light_records, params,
+                         other_rec) = self._chunk_data_cached
                     else:
                         chunk_data = gather_chunk_data(
                             bins.sph_chunks, scene.sph_center,
@@ -319,16 +328,46 @@ class TachyonRender:
                             build_light_records(lb, scene)
                             if cfg.shadows_enabled else (None, None, None)
                         )
-                        lo = np.asarray(jax.numpy.min(
+                        other_rec = gather_other_records(bins, scene, lb)
+                        jnp = jax.numpy
+                        lo1 = jnp.min(
                             scene.sph_center - scene.sph_radius[:, None], axis=0
-                        ))
-                        hi = np.asarray(jax.numpy.max(
+                        )
+                        hi1 = jnp.max(
                             scene.sph_center + scene.sph_radius[:, None], axis=0
-                        ))
-                        params = build_mega_params(frame, lb, lo, hi, cfg)
-                        self._chunk_data_cached = (chunk_data, light_records, params)
+                        )
+                        if not sphere_only:
+                            cmid = scene.cyl_base + 0.5 * scene.cyl_axis
+                            cext = (
+                                0.5 * jnp.linalg.norm(scene.cyl_axis, axis=-1)
+                                + jnp.maximum(scene.cyl_radius, 0)
+                            )
+                            lv = (scene.cyl_radius > 0)[:, None]
+                            lo1 = jnp.minimum(lo1, jnp.min(
+                                jnp.where(lv, cmid - cext[:, None], 1e30), axis=0))
+                            hi1 = jnp.maximum(hi1, jnp.max(
+                                jnp.where(lv, cmid + cext[:, None], -1e30), axis=0))
+                            rv = (scene.ring_rout > 0)[:, None]
+                            lo1 = jnp.minimum(lo1, jnp.min(jnp.where(
+                                rv, scene.ring_center - scene.ring_rout[:, None],
+                                1e30), axis=0))
+                            hi1 = jnp.maximum(hi1, jnp.max(jnp.where(
+                                rv, scene.ring_center + scene.ring_rout[:, None],
+                                -1e30), axis=0))
+                        params = build_mega_params(
+                            frame, lb, np.asarray(lo1), np.asarray(hi1), cfg
+                        )
+                        self._chunk_data_cached = (
+                            chunk_data, light_records, params, other_rec
+                        )
                         self._accel_cache = (bins, lb, self._chunk_data_cached)
                     S = (cfg.aa_samples if cfg.aa_enabled else 0) + 1
+                    other_kw = {}
+                    if other_rec is not None:
+                        other_kw = dict(
+                            other_data=other_rec[0], other_count=other_rec[1],
+                            occ_recs=other_rec[2], n_occ=other_rec[3],
+                        )
                     img_f = render_image_mega(
                         chunk_data, bins.sph_zmin,
                         light_records[0], light_records[1], light_records[2],
@@ -340,6 +379,7 @@ class TachyonRender:
                         shadows=bool(cfg.shadows_enabled),
                         interpret=(self._backend == "cpu"),
                         quantized=device_output,
+                        **other_kw,
                     )
                     if device_output:
                         _t0 = _mark("trace", _t0)

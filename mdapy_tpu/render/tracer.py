@@ -79,10 +79,15 @@ def _cyl_t(o, d, base, axis, radii, eps):
     oc = o[:, None, :] - base[None, :, :]                 # (R,C,3)
     dda = jnp.einsum("rx,cx->rc", d, ahat)                # (R,C)
     oca = jnp.einsum("rcx,cx->rc", oc, ahat)
-    # perpendicular components
-    a2 = 1.0 - dda * dda                                  # |d_perp|^2
-    b = jnp.einsum("rcx,rx->rc", oc, d) - oca * dda       # oc_perp . d_perp
-    c = jnp.sum(oc * oc, axis=-1) - oca * oca - (radii * radii)[None, :]
+    # explicit perpendicular components: `1 - dda^2` and `|oc|^2 - oca^2`
+    # cancel catastrophically in f32 for rays nearly parallel to long thin
+    # cylinders (box edges) — grey-haze artifacts; forming the perpendicular
+    # vectors first is stable
+    dp = d[:, None, :] - dda[..., None] * ahat[None, :, :]   # (R,C,3)
+    op = oc - oca[..., None] * ahat[None, :, :]
+    a2 = jnp.sum(dp * dp, axis=-1)                        # |d_perp|^2 >= 0
+    b = jnp.sum(op * dp, axis=-1)
+    c = jnp.sum(op * op, axis=-1) - (radii * radii)[None, :]
     disc = b * b - a2 * c
     live = (radii > 0.0)[None, :] & (disc >= 0.0) & (a2 > 1e-12)
     sq = jnp.sqrt(jnp.where(live, disc, 0.0))

@@ -57,9 +57,12 @@ def _t_cyls(o, d, base, axis, rad, eps):
     oc = o[:, None, :] - base[None, :, :]
     dda = jnp.einsum("rx,kx->rk", d, ahat)
     oca = jnp.einsum("rkx,kx->rk", oc, ahat)
-    a2 = 1.0 - dda * dda
-    b = jnp.einsum("rkx,rx->rk", oc, d) - oca * dda
-    c = jnp.sum(oc * oc, axis=-1) - oca * oca - (rad * rad)[None, :]
+    # stable perpendicular-vector form (see tracer._cyl_t)
+    dp = d[:, None, :] - dda[..., None] * ahat[None, :, :]
+    op = oc - oca[..., None] * ahat[None, :, :]
+    a2 = jnp.sum(dp * dp, axis=-1)
+    b = jnp.sum(op * dp, axis=-1)
+    c = jnp.sum(op * op, axis=-1) - (rad * rad)[None, :]
     disc = b * b - a2 * c
     live = (rad > 0)[None, :] & (disc >= 0) & (a2 > 1e-12)
     sq = jnp.sqrt(jnp.where(live, disc, 0.0))
@@ -273,9 +276,11 @@ def _shadow_filter_lb(hit, scene: Scene, lb: LightBins, light_dir, eps, with_tra
             oc = hit[:, None, :] - base
             dda = jnp.sum(d[:, None, :] * ahat, axis=-1)
             oca = jnp.sum(oc * ahat, axis=-1)
-            a2 = 1.0 - dda * dda
-            b = jnp.sum(oc * d[:, None, :], axis=-1) - oca * dda
-            cq = jnp.sum(oc * oc, axis=-1) - oca * oca - rad * rad
+            dp = d[:, None, :] - dda[..., None] * ahat
+            op = oc - oca[..., None] * ahat
+            a2 = jnp.sum(dp * dp, axis=-1)
+            b = jnp.sum(op * dp, axis=-1)
+            cq = jnp.sum(op * op, axis=-1) - rad * rad
             disc = b * b - a2 * cq
             live = (rad > 0) & (disc >= 0) & (a2 > 1e-12)
             sq = jnp.sqrt(jnp.where(live, disc, 0.0))
