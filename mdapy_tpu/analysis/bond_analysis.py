@@ -44,6 +44,9 @@ class BondAnalysis:
         dth = 180.0 / self.nbin
         self.r = (np.arange(self.nbin) + 0.5) * dr
         self.theta = (np.arange(self.nbin) + 0.5) * dth
+        # reference-API names (bond_analysis.py:237 exposes r_length/r_angle)
+        self.r_length = self.r
+        self.r_angle = self.theta
         return self
 
     def plot_bond_length_distribution(self, fig=None, ax=None):

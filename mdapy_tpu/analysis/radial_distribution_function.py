@@ -11,6 +11,7 @@ even for large cutoffs (small-box replication handles rc > thickness/2).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -53,25 +54,43 @@ class RadialDistributionFunction:
         self.Ntype = len(uniq)
         lut = {l: i for i, l in enumerate(uniq)}
         self.type_idx = np.array([lut[l] for l in labels.tolist()], dtype=np.int32)
+        self.streaming = streaming
         self._precomputed = (verlet_list, distance_list, neighbor_number)
         self.r = None
         self.g_total = None
         self.g_partial: Dict[Tuple, np.ndarray] = {}
 
+    def _auto_streaming(self) -> bool:
+        """Reference auto rule (system.py:2275-2291): stream when the Verlet
+        list would be prohibitively wide, i.e. rc >= min periodic thickness/3."""
+        thick = self.box.get_thickness()
+        per = self.box.boundary == 1
+        if not per.any():
+            return False
+        return self.rc >= float(thick[per].min()) / 3.0
+
     def compute(self):
         verlet, dist, nn = self._precomputed
-        if verlet is None:
-            verlet, dist, nn = neighbor_search(self.pos, self.box, self.rc)
+        streaming = self.streaming
+        if verlet is not None:
+            streaming = False
+        elif streaming is None:
+            streaming = self._auto_streaming()
         edges = np.linspace(0, self.rc, self.nbin + 1)
         const = (4.0 * np.pi / 3.0 * (edges[1:] ** 3 - edges[:-1] ** 3)) / self.vol
         self.r = (edges[1:] + edges[:-1]) / 2
 
-        counts = np.asarray(
-            _bin_pairs(
-                jnp.asarray(verlet), jnp.asarray(dist),
-                jnp.asarray(self.type_idx), self.rc, self.nbin, self.Ntype,
+        if streaming:
+            counts = self._stream_counts()
+        else:
+            if verlet is None:
+                verlet, dist, nn = neighbor_search(self.pos, self.box, self.rc)
+            counts = np.asarray(
+                _bin_pairs(
+                    jnp.asarray(verlet), jnp.asarray(dist),
+                    jnp.asarray(self.type_idx), self.rc, self.nbin, self.Ntype,
+                )
             )
-        )
         total = counts.sum(axis=(0, 1))
         self.g_total = total / const / self.N**2
         nper = np.bincount(self.type_idx, minlength=self.Ntype)
@@ -86,6 +105,27 @@ class RadialDistributionFunction:
                     g_ab = np.zeros_like(self.r)
                 self.g_partial[(self.elements[a], self.elements[b])] = g_ab
         return self
+
+    def _stream_counts(self) -> np.ndarray:
+        """Neighbor-list-free pair binning (reference `_rdf_streaming`,
+        radial_distribution_function.cpp:323): stream center blocks against
+        the full (image-replicated) atom set with minimum-image distances —
+        O(block*N) memory, MXU/VPU-dense on TPU, no O(N*max_neigh) storage."""
+        from ..neighbor.neighbor import replicate_for_small_box
+
+        pos_c, box_c, n_images = replicate_for_small_box(self.pos, self.box, self.rc)
+        type_all = np.tile(self.type_idx, n_images)
+        from .common import box_arrays
+
+        m, inv, b = box_arrays(box_c, jnp.asarray(pos_c).dtype)
+        block = 256
+        return np.asarray(
+            _stream_bin(
+                jnp.asarray(self.pos), jnp.asarray(pos_c),
+                jnp.asarray(self.type_idx), jnp.asarray(type_all),
+                m, inv, b, self.rc, self.nbin, self.Ntype, block,
+            )
+        )
 
     def plot(self, fig=None, ax=None):
         import matplotlib.pyplot as plt
@@ -111,4 +151,44 @@ def _bin_pairs(verlet, dist, type_idx, rc, nbin, ntype):
     flat = jnp.where(ok, flat, ntype * ntype * nbin)
     hist = jnp.zeros(ntype * ntype * nbin + 1, jnp.float64 if dist.dtype == jnp.float64 else jnp.float32)
     hist = hist.at[flat.reshape(-1)].add(1.0)
+    return hist[:-1].reshape(ntype, ntype, nbin)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nbin", "ntype", "block")
+)
+def _stream_bin(pos, pos_all, type_idx, type_all, matrix, inv, boundary,
+                rc, nbin: int, ntype: int, block: int):
+    """Blocked all-pairs (center-block x full image set) distance binning.
+
+    Equivalent to `_bin_pairs` over an exact neighbor list but with O(block*M)
+    working set. Self-pairs (exact zero distance at the identity image) are
+    excluded; periodic self-images within rc are counted, matching the
+    replicated-verlet path.
+    """
+    n = pos.shape[0]
+    npad = ((n + block - 1) // block) * block
+    pad = npad - n
+    posp = jnp.pad(pos, ((0, pad), (0, 0)))
+    # padded centers get type index `ntype` -> routed to the overflow slot
+    tpad = jnp.pad(type_idx, (0, pad), constant_values=ntype)
+    dr = rc / nbin
+    sentinel = ntype * ntype * nbin
+
+    def body(s, hist):
+        ci = jax.lax.dynamic_slice_in_dim(posp, s * block, block)
+        ti = jax.lax.dynamic_slice_in_dim(tpad, s * block, block)
+        disp = pos_all[None, :, :] - ci[:, None, :]
+        frac = disp @ inv
+        frac = frac - jnp.round(frac) * boundary
+        disp = frac @ matrix
+        dist = jnp.sqrt((disp * disp).sum(-1))
+        ok = (dist < rc) & (dist > 0.0) & (ti[:, None] < ntype)
+        k = jnp.clip((dist / dr).astype(jnp.int32), 0, nbin - 1)
+        flat = (jnp.minimum(ti, ntype - 1)[:, None] * ntype + type_all[None, :]) * nbin + k
+        flat = jnp.where(ok, flat, sentinel)
+        return hist.at[flat.reshape(-1)].add(1.0)
+
+    hist0 = jnp.zeros(sentinel + 1, pos.dtype)
+    hist = jax.lax.fori_loop(0, npad // block, body, hist0)
     return hist[:-1].reshape(ntype, ntype, nbin)

@@ -42,6 +42,7 @@ class WarrenCowleyParameter:
             alpha = 1.0 - p / conc[None, :]
         alpha[~np.isfinite(alpha)] = 0.0
         self.wcp = alpha
+        self.WCP = alpha  # reference-API name (warren_cowley_parameter.py:193)
         return self
 
     def plot(self, fig=None, ax=None):

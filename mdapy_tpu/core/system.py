@@ -753,7 +753,9 @@ class System:
             )
         else:
             raise ValueError("Atomic temperature requires an element column")
-        calc = AtomicTemperature(amass, self.vel * factor, verlet, nn)
+        # user velocities are A/fs (times `factor`); the kernel works in A/ps
+        # (reference atomic_temperature.py:102-108 applies the same 1e3).
+        calc = AtomicTemperature(amass, self.vel * (1e3 * factor), verlet, nn)
         calc.compute()
         self._data["atomic_temp"] = calc.T
         return calc.T
@@ -942,8 +944,16 @@ class System:
             )
             formulas[int(lab)] = formula
             counts[formula] += 1
-        if add_mol_id:
-            self._data["mol_id"] = (labels + 1).astype(np.int32)
+        if add_mol_id and search_species:
+            # mol_id = zero-based index into search_species, -1 if the atom's
+            # molecule is not a searched formula (reference system.py:2610-2615).
+            formula_to_mid = {f: i for i, f in enumerate(search_species)}
+            label_to_mid = {
+                lab: formula_to_mid.get(f, -1) for lab, f in formulas.items()
+            }
+            self._data["mol_id"] = np.array(
+                [label_to_mid[int(l)] for l in labels], dtype=np.int32
+            )
         if search_species:
             return {k: counts.get(k, 0) for k in search_species}
         return dict(counts.most_common(check_most))

@@ -1,0 +1,161 @@
+"""Multi-device rendering: pixel-tile sharding over a `jax.sharding.Mesh`.
+
+The reference is single-node (its Tachyon MPI layer is compiled out —
+tachyon_render.h:137 `rt_initialize_nompi`; pthread tiles only,
+extern/tachyon/src/threads.c). The TPU-native scale-out replaces both: the
+ray grid is the data-parallel axis. Each device owns a horizontal band of
+scanlines; primitive arrays are replicated in every device's HBM (sharding
+them is only worthwhile past ~50M primitives — a gather/exchange stage can
+be added behind the same API then). Gradients of a pixel loss w.r.t. scene
+parameters are partial sums over each device's rays, so the backward pass
+ends in one `psum` over the mesh — the collective rides ICI.
+
+Public API:
+    render_image_sharded(...)   forward render, bands gathered to a full image
+    render_train_step(...)      pixel loss + psum-reduced scene gradients
+    make_mesh(n)                convenience 1-D ray-tile mesh
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .tracer import RenderConfig, render_image
+
+__all__ = ["make_mesh", "render_image_sharded", "render_train_step"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "tiles") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _band_lowleft(lowleft, iplaneup, row0):
+    """Shift the image-plane origin to this band's first scanline."""
+    return lowleft + row0.astype(lowleft.dtype) * iplaneup
+
+
+def render_image_sharded(
+    scene,
+    frame: dict,
+    cfg: RenderConfig,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    seed: int = 0,
+    chunk: int = 16384,
+):
+    """Render (H, W, 3) with scanline bands sharded across ``mesh``.
+
+    ``height`` must divide evenly by the mesh size. The result equals the
+    single-device `render_image` output: each device traces rows
+    [row0, row0+rows) of the bottom-up ray grid and the bands are laid out
+    top-down (device 0 gets the top band), so the sharded output concatenates
+    directly along axis 0.
+    """
+    (axis,) = mesh.axis_names
+    n = mesh.devices.size
+    if height % n != 0:
+        raise ValueError(f"height {height} not divisible by mesh size {n}")
+    rows = height // n
+    perspective = bool(frame["perspective"])
+    dtype = jnp.asarray(scene.sph_center).dtype
+    cam = {
+        k: jnp.asarray(frame[k], dtype)
+        for k in ("origin", "lowleft", "iplaneright", "iplaneup", "view", "light_dir")
+    }
+    # device i renders band (n-1-i): top band first so out_specs P(axis)
+    # concatenation yields the standard top-down image
+    band_ids = jnp.arange(n - 1, -1, -1, dtype=jnp.int32)
+
+    def shard_fn(band_id, origin, lowleft, ipr, ipu, view, light):
+        row0 = band_id[0] * rows
+        ll = _band_lowleft(lowleft, ipu, row0)
+        return render_image(
+            scene, origin, ll, ipr, ipu, view, light,
+            cfg, width, rows, perspective, seed, chunk=chunk,
+        )
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P(), P(), P()),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return fn(
+        band_ids, cam["origin"], cam["lowleft"], cam["iplaneright"],
+        cam["iplaneup"], cam["view"], cam["light_dir"],
+    )
+
+
+def render_train_step(
+    scene,
+    frame: dict,
+    target,
+    cfg: RenderConfig,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    seed: int = 0,
+    chunk: int = 16384,
+):
+    """One differentiable step: forward render -> MSE vs ``target`` ->
+    gradients w.r.t. (sph_center, sph_radius, sph_color), mean-reduced over
+    the mesh. ``target`` is (H, W, 3), sharded by scanline band like the
+    forward output. Returns (loss, grads) replicated on every device."""
+    (axis,) = mesh.axis_names
+    n = mesh.devices.size
+    if height % n != 0:
+        raise ValueError(f"height {height} not divisible by mesh size {n}")
+    rows = height // n
+    perspective = bool(frame["perspective"])
+    dtype = jnp.asarray(scene.sph_center).dtype
+    cam = {
+        k: jnp.asarray(frame[k], dtype)
+        for k in ("origin", "lowleft", "iplaneright", "iplaneup", "view", "light_dir")
+    }
+    band_ids = jnp.arange(n - 1, -1, -1, dtype=jnp.int32)
+
+    def loss_fn(params, band_id, tgt):
+        import dataclasses
+
+        c, r, col = params
+        scene2 = dataclasses.replace(
+            scene, sph_center=c, sph_radius=r, sph_color=col
+        )
+        row0 = band_id * rows
+        ll = _band_lowleft(cam["lowleft"], cam["iplaneup"], row0)
+        img = render_image(
+            scene2, cam["origin"], ll, cam["iplaneright"], cam["iplaneup"],
+            cam["view"], cam["light_dir"],
+            cfg, width, rows, perspective, seed, chunk=chunk,
+        )
+        return jnp.mean((img - tgt) ** 2)
+
+    def shard_fn(c, r, col, band_id, tgt):
+        loss, grads = jax.value_and_grad(loss_fn)((c, r, col), band_id[0], tgt)
+        loss = jax.lax.pmean(loss, axis)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads)
+        return loss, grads
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), (P(), P(), P())),
+        check_rep=False,
+    )
+    return fn(
+        jnp.asarray(scene.sph_center), jnp.asarray(scene.sph_radius),
+        jnp.asarray(scene.sph_color), band_ids, jnp.asarray(target, dtype),
+    )
