@@ -252,3 +252,18 @@ def test_sk_partial_faber_ziman_total_relation():
         + 0.25 * sfc.Sk_partial[("Cu", "Cu")]
     )
     np.testing.assert_allclose(sfc.Sk, expected, atol=1e-12)
+
+
+# --------------------------------------------------- adaptive CNA invariants
+def test_cna_adaptive_perfect_crystals():
+    """Adaptive (cutoff-free) CNA: perfect lattices classify uniformly
+    (reference test_common_neighbor_analysis.py self-invariants)."""
+    fcc = mp.build_crystal("Al", "fcc", 4.05, nx=4, ny=4, nz=4)
+    fcc.cal_common_neighbor_analysis()
+    assert (np.asarray(fcc.data["cna"]) == 1).all()
+    bcc = mp.build_crystal("Fe", "bcc", 2.86, nx=4, ny=4, nz=4)
+    bcc.cal_common_neighbor_analysis()
+    assert (np.asarray(bcc.data["cna"]) == 3).all()
+    hcp = mp.build_crystal("Mg", "hcp", 3.21, nx=4, ny=4, nz=4)
+    hcp.cal_common_neighbor_analysis()
+    assert (np.asarray(hcp.data["cna"]) == 2).all()
