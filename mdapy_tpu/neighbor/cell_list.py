@@ -31,6 +31,7 @@ __all__ = [
     "compute_cell_ids",
     "cell_occupancy",
     "neighbor_list_fixed",
+    "neighbor_list_dense",
     "candidate_gather",
 ]
 
@@ -223,4 +224,243 @@ def neighbor_list_fixed(
     verlet = verlet.reshape(npad, max_neigh)[:n]
     dist = dist.reshape(npad, max_neigh)[:n]
     cnt = cnt.reshape(npad)[:n]
+    return verlet, dist, cnt, jnp.max(cnt)
+
+
+def dense_eligible(ncells, boundary, M: int) -> bool:
+    """Dense (gather-free) path needs >= 3 cells per periodic axis (halo
+    dedup) and a bounded per-plane distance tile."""
+    bnd = tuple(int(b) for b in boundary)
+    plane_bytes = ncells[1] * ncells[2] * M * (27 * M) * 4
+    return (
+        all((not bnd[ax]) or ncells[ax] >= 3 for ax in range(3))
+        and plane_bytes < (1 << 31)
+    )
+
+
+def neighbor_list_auto(
+    pos, box_matrix, origin, boundary, rc, ncells,
+    order, sorted_cid, cell_start, cell_count, M,
+    max_neigh, chunk, exclude_self=True, n_query=None, n_images=1,
+    diagonal=False,
+):
+    """Dispatch dense (gather-free) vs gather-based Verlet build.
+
+    ``n_query``: number of original atoms (first rows of ``pos``); with
+    replication the dense path computes all-replica rows and slices.
+    Returns (verlet, dist, cnt, max_cnt scalar).
+    """
+    n = pos.shape[0] if n_query is None else n_query
+    bnd_t = tuple(int(b) for b in boundary)
+    if dense_eligible(ncells, bnd_t, M):
+        vs, ds, cs, qs = neighbor_list_dense(
+            pos, box_matrix, origin, float(rc), ncells, bnd_t,
+            order, sorted_cid, cell_start, M,
+            max_neigh=max_neigh, exclude_self=exclude_self,
+            diagonal=bool(diagonal), reorder=False,
+        )
+        # slot -> atom-order reorder on the host: one numpy row-indexing
+        # pass instead of a device row scatter that costs ~2x the whole
+        # distance pass (also drops replica rows when n_images > 1)
+        vs, ds, cs, qs = (np.asarray(vs), np.asarray(ds), np.asarray(cs),
+                          np.asarray(qs))
+        sel = (qs >= 0) & (qs < n)
+        rows = qs[sel]
+        verlet = np.full((n, max_neigh), -1, np.int32)
+        verlet[rows] = vs[sel]
+        dist = np.zeros((n, max_neigh), ds.dtype)
+        dist[rows] = ds[sel]
+        cnt = np.zeros(n, np.int32)
+        cnt[rows] = cs[sel]
+        return verlet, dist, cnt, int(cnt.max() if n else 0)
+    return neighbor_list_fixed(
+        pos, box_matrix, origin, boundary, float(rc), ncells,
+        order, cell_start, cell_count, M,
+        max_neigh=max_neigh, chunk=chunk, exclude_self=exclude_self,
+        query_pos=pos[:n] if n_images > 1 else None,
+    )
+
+
+def _pad_halo(a, axis: int, periodic: bool, fill):
+    """One halo cell on each side: wrapped copies (periodic) or `fill`."""
+    if periodic:
+        lo = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis], axis=axis)
+        hi = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+    else:
+        shape = list(a.shape)
+        shape[axis] = 1
+        lo = jnp.full(shape, fill, a.dtype)
+        hi = lo
+    return jnp.concatenate([lo, a, hi], axis=axis)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ncells", "boundary", "M", "max_neigh", "exclude_self",
+                     "diagonal", "reorder"),
+)
+def neighbor_list_dense(
+    pos,
+    box_matrix,
+    origin,
+    rc: float,
+    ncells,
+    boundary,
+    order,
+    sorted_cid,
+    cell_start,
+    M: int,
+    max_neigh: int,
+    exclude_self: bool = True,
+    diagonal: bool = False,
+    reorder: bool = True,
+):
+    """Gather-free Verlet build — the TPU fast path.
+
+    XLA per-element gathers dominate `neighbor_list_fixed` on TPU (~8 ns per
+    gathered element makes 1M atoms x 27*M candidates cost seconds).  This
+    path touches memory only through dense, contiguous ops:
+
+      1. one scatter packs atoms into a (ncx, ncy, ncz, M) cell grid
+         (M = max occupancy, empty slots +inf / -1), one component array per
+         coordinate so every downstream op keeps the candidate axis on lanes
+         (a trailing (...,3) axis would waste 125 of 128 VPU lanes);
+      2. halo padding (wrapped slices) turns the periodic 27-cell stencil
+         into plain sliding-window slices — the TPU analog of the
+         reference's linked-cell traversal (neighbor.cpp:130-187);
+      3. per x-plane, the (queries x 27M candidates) distance tile is dense
+         VPU work, and a carrying `lax.sort` (no index gather) yields
+         distance-ascending rows;
+      4. one row scatter returns rows to original atom order.
+
+    ``diagonal=True`` uses the cheap per-axis minimum image (orthogonal box).
+    Requires >= 3 cells along every periodic axis (halo wrap would duplicate
+    stencil cells otherwise — callers fall back to `neighbor_list_fixed`).
+    Returns (verlet, dist, counts, max_count) like `neighbor_list_fixed`.
+    """
+    ncx, ncy, ncz = ncells
+    n = pos.shape[0]
+    ntot = ncx * ncy * ncz
+    dtype = pos.dtype
+    big = jnp.array(jnp.finfo(dtype).max, dtype)
+
+    rank = jnp.arange(n, dtype=jnp.int32) - cell_start[sorted_cid]
+    slots = sorted_cid.astype(jnp.int32) * M + rank
+    spos = pos[order]
+    gcomp = []
+    for ax in range(3):
+        dense = jnp.full((ntot * M,), big, dtype).at[slots].set(spos[:, ax])
+        gcomp.append(dense.reshape(ncx, ncy, ncz, M))
+    dense_idx = jnp.full((ntot * M,), -1, jnp.int32).at[slots].set(
+        order.astype(jnp.int32)
+    )
+    gi = dense_idx.reshape(ncx, ncy, ncz, M)
+    for ax in range(3):
+        per = bool(boundary[ax])
+        gcomp = [_pad_halo(g, ax, per, big) for g in gcomp]
+        gi = _pad_halo(gi, ax, per, -1)
+
+    inv_j = jnp.linalg.inv(box_matrix).astype(dtype)
+    mat_j = box_matrix.astype(dtype)
+    rc2 = jnp.array(rc * rc, dtype)
+    C = 27 * M
+    R = ncy * ncz
+
+    def _shift27(a3):
+        """(3, ncy+2, ncz+2, M) -> (R, C): 27 shifted windows on lanes."""
+        views = [
+            a3[:, dy : dy + ncy, dz : dz + ncz]
+            for dy in range(3)
+            for dz in range(3)
+        ]
+        v = jnp.stack(views, 0).reshape(27, ncy, ncz, M)
+        return jnp.moveaxis(v, 0, 2).reshape(R, C)
+
+    def do_plane(x):
+        # queries: (R, M) per component
+        q = [
+            jax.lax.dynamic_slice(g, (x + 1, 1, 1, 0), (1, ncy, ncz, M))[0]
+            .reshape(R, M)
+            for g in gcomp
+        ]
+        qi = jax.lax.dynamic_slice(gi, (x + 1, 1, 1, 0), (1, ncy, ncz, M))[
+            0
+        ].reshape(R, M)
+        # candidates: (R, C) per component
+        c = [
+            _shift27(
+                jax.lax.dynamic_slice(g, (x, 0, 0, 0), (3, ncy + 2, ncz + 2, M))
+            )
+            for g in gcomp
+        ]
+        ci = _shift27(
+            jax.lax.dynamic_slice(gi, (x, 0, 0, 0), (3, ncy + 2, ncz + 2, M))
+        )
+
+        dx = c[0][:, None, :] - q[0][:, :, None]       # (R, M, C)
+        dy = c[1][:, None, :] - q[1][:, :, None]
+        dz = c[2][:, None, :] - q[2][:, :, None]
+        b0, b1, b2 = (float(boundary[0]), float(boundary[1]),
+                      float(boundary[2]))
+        if diagonal:
+            if b0:
+                L0 = mat_j[0, 0]
+                dx = dx - jnp.round(dx * (1.0 / L0)) * L0
+            if b1:
+                L1 = mat_j[1, 1]
+                dy = dy - jnp.round(dy * (1.0 / L1)) * L1
+            if b2:
+                L2 = mat_j[2, 2]
+                dz = dz - jnp.round(dz * (1.0 / L2)) * L2
+        else:
+            fa = dx * inv_j[0, 0] + dy * inv_j[1, 0] + dz * inv_j[2, 0]
+            fb = dx * inv_j[0, 1] + dy * inv_j[1, 1] + dz * inv_j[2, 1]
+            fc = dx * inv_j[0, 2] + dy * inv_j[1, 2] + dz * inv_j[2, 2]
+            if b0:
+                fa = fa - jnp.round(fa)
+            if b1:
+                fb = fb - jnp.round(fb)
+            if b2:
+                fc = fc - jnp.round(fc)
+            dx = fa * mat_j[0, 0] + fb * mat_j[1, 0] + fc * mat_j[2, 0]
+            dy = fa * mat_j[0, 1] + fb * mat_j[1, 1] + fc * mat_j[2, 1]
+            dz = fa * mat_j[0, 2] + fb * mat_j[1, 2] + fc * mat_j[2, 2]
+        d2 = dx * dx + dy * dy + dz * dz
+        live = ci[:, None, :] >= 0
+        # empty-slot coords are `big`; their d2 is inf/nan which <= rejects,
+        # but mask explicitly anyway
+        ok = live & (d2 <= rc2)
+        if exclude_self:
+            ok = ok & (ci[:, None, :] != qi[..., None])
+        d2m = jnp.where(ok, d2, big)
+        cnt = jnp.sum(ok, axis=-1).astype(jnp.int32)           # (R, M)
+        rows = R * M
+        dsort, csort = jax.lax.sort(
+            (d2m.reshape(rows, C),
+             jnp.broadcast_to(ci[:, None, :], (R, M, C)).reshape(rows, C)),
+            dimension=1,
+            num_keys=1,
+        )
+        dtop = dsort[:, :max_neigh]
+        ctop = csort[:, :max_neigh]
+        good = dtop < big
+        verlet = jnp.where(good, ctop, -1)
+        dist = jnp.where(good, jnp.sqrt(jnp.maximum(dtop, 0.0)), 0.0)
+        return verlet, dist, cnt.reshape(rows), qi.reshape(rows)
+
+    verlet_s, dist_s, cnt_s, qi_s = jax.lax.map(do_plane, jnp.arange(ncx))
+    verlet_s = verlet_s.reshape(ntot * M, max_neigh)
+    dist_s = dist_s.reshape(ntot * M, max_neigh)
+    cnt_s = cnt_s.reshape(ntot * M)
+    qi_s = qi_s.reshape(ntot * M)
+    if not reorder:
+        # slot-ordered results; callers (who transfer to host anyway)
+        # reorder with one numpy row-indexing pass — the device row
+        # scatter costs ~2x the whole distance pass on TPU
+        return verlet_s, dist_s, cnt_s, qi_s
+    # return rows to original atom order; padding rows target the spill row n
+    tgt = jnp.where(qi_s >= 0, qi_s, n)
+    verlet = jnp.full((n + 1, max_neigh), -1, jnp.int32).at[tgt].set(verlet_s)[:n]
+    dist = jnp.zeros((n + 1, max_neigh), dtype).at[tgt].set(dist_s)[:n]
+    cnt = jnp.zeros((n + 1,), jnp.int32).at[tgt].set(cnt_s)[:n]
     return verlet, dist, cnt, jnp.max(cnt)

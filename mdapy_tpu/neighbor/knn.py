@@ -48,15 +48,15 @@ def knn_search(
         mj = jnp.asarray(box_c.matrix)
         oj = jnp.asarray(box_c.origin)
         bj = jnp.asarray(box_c.boundary)
-        order, _, cell_start, cell_count, max_occ = cl.cell_occupancy(
+        order, sorted_cid, cell_start, cell_count, max_occ = cl.cell_occupancy(
             posj, mj, oj, bj, ncells
         )
         M = int(max_occ)
-        verlet, dist, cnt, _ = cl.neighbor_list_fixed(
+        verlet, dist, cnt, _ = cl.neighbor_list_auto(
             posj, mj, oj, bj, rc, ncells,
-            order, cell_start, cell_count, M,
+            order, sorted_cid, cell_start, cell_count, M,
             max_neigh=k, chunk=min(65536, _next_pow2(n)),
-            query_pos=posj[:n] if n_images > 1 else None,
+            n_query=n, n_images=n_images, diagonal=not box_c.triclinic,
         )
         cnt_min = int(jnp.min(cnt))
         if cnt_min >= k:

@@ -75,7 +75,7 @@ def neighbor_search(
     mj = jnp.asarray(box_c.matrix)
     oj = jnp.asarray(box_c.origin)
     bj = jnp.asarray(box_c.boundary)
-    order, _, cell_start, cell_count, max_occ = cl.cell_occupancy(
+    order, _sorted_cid, cell_start, cell_count, max_occ = cl.cell_occupancy(
         posj, mj, oj, bj, ncells
     )
     # bucket data-dependent sizes (max cell occupancy, neighbor capacity) up
@@ -107,13 +107,12 @@ def neighbor_search(
 
     # queries: only original atoms (first n rows of pos_c by construction)
     def run(capacity):
-        verlet, dist, cnt, max_cnt = cl.neighbor_list_fixed(
-            posj,
-            mj, oj, bj, float(rc), ncells,
-            order, cell_start, cell_count, M,
+        verlet, dist, cnt, max_cnt = cl.neighbor_list_auto(
+            posj, mj, oj, bj, float(rc), ncells,
+            order, _sorted_cid, cell_start, cell_count, M,
             max_neigh=capacity, chunk=min(chunk, _next_pow2(n)),
-            exclude_self=exclude_self,
-            query_pos=posj[:n] if n_images > 1 else None,
+            exclude_self=exclude_self, n_query=n, n_images=n_images,
+            diagonal=not box_c.triclinic,
         )
         return verlet, dist, cnt, int(max_cnt)
 

@@ -118,3 +118,43 @@ def test_neighbor_class_api():
     assert n.neighbor_number.dtype == np.int32
     k = NearestNeighbor(pos, box, k=8).compute()
     assert k.verlet_list.shape == (80, 8)
+
+
+def test_dense_matches_gather_kernel():
+    """The gather-free (dense grid) kernel and the gather kernel are two
+    implementations of one contract — cross-validate them on a disordered
+    triclinic system (the rdf-streaming-style kernel-equivalence pattern,
+    reference test_rdf_streaming.py)."""
+    import jax.numpy as jnp
+
+    import mdapy_tpu.neighbor.cell_list as cl
+    from mdapy_tpu.core.box import Box
+
+    rng = np.random.default_rng(11)
+    m = np.array([[22.0, 0, 0], [3.0, 19.0, 0], [1.0, 2.0, 17.0]])
+    pos = rng.uniform(0, 1, (400, 3)) @ m
+    box = Box(m)
+    rc = 4.5
+    ncells = cl.cell_grid_shape(box.matrix, rc)
+    pj = jnp.asarray(pos)
+    mj = jnp.asarray(box.matrix)
+    oj = jnp.asarray(box.origin)
+    bj = jnp.asarray(box.boundary)
+    order, scid, cstart, ccount, mo = cl.cell_occupancy(pj, mj, oj, bj, ncells)
+    M = int(mo)
+    assert cl.dense_eligible(ncells, (1, 1, 1), M)
+    v1, d1, c1, mc1 = cl.neighbor_list_fixed(
+        pj, mj, oj, bj, rc, ncells, order, cstart, ccount, M,
+        max_neigh=64, chunk=512,
+    )
+    v2, d2, c2, mc2 = cl.neighbor_list_auto(
+        pj, mj, oj, bj, rc, ncells, order, scid, cstart, ccount, M,
+        max_neigh=64, chunk=512,
+    )
+    v1, d1, c1 = np.asarray(v1), np.asarray(d1), np.asarray(c1)
+    np.testing.assert_array_equal(np.asarray(c2), c1)
+    assert int(mc2) == int(mc1)
+    for i in range(len(pos)):
+        k = c1[i]
+        np.testing.assert_allclose(np.asarray(d2)[i, :k], d1[i, :k], atol=1e-12)
+        assert set(np.asarray(v2)[i, :k]) == set(v1[i, :k])
