@@ -287,8 +287,14 @@ class TachyonRender:
                     bins = build_screen_bins(scene, frame, int(width), int(height))
                     # grid=48: ~one light cell per 16px screen tile at typical
                     # zoom — measured sweet spot for the megakernel's cell-rect
-                    # iteration (48 beats 128 by ~15% on the 1M-atom bench)
-                    lb = build_light_bins(scene, frame["light_dir"].astype(dtype), grid=48)
+                    # iteration (48 beats 128 by ~15% on the 1M-atom bench).
+                    # MDAPY_TPU_LIGHT_GRID overrides for tuning sweeps.
+                    import os as _os
+
+                    _lg = int(_os.environ.get("MDAPY_TPU_LIGHT_GRID", "48"))
+                    lb = build_light_bins(
+                        scene, frame["light_dir"].astype(dtype), grid=_lg
+                    )
                     self._chunk_data_cached = None
                     self._accel_cache = (bins, lb, None)
                     self._accel_key = cache_key
