@@ -13,7 +13,69 @@ import numpy as np
 
 from ..core.elements import atomic_masses, atomic_numbers
 
-__all__ = ["set_pka", "generate_velocity", "split_xyz"]
+__all__ = [
+    "set_pka",
+    "generate_velocity",
+    "split_xyz",
+    "sort_neighbor",
+    "average_by_neighbor",
+    "wrap_pos",
+    "replicate",
+]
+
+
+def sort_neighbor(verlet_list, distance_list, neighbor_number, k: int):
+    """Sort each atom's first ``k`` neighbors ascending by distance,
+    in place (reference tool_function.py:75 / neighbor.cpp:745)."""
+    min_n = int(np.min(neighbor_number))
+    assert min_n >= k, f"The min neighbor number {min_n} is lower than k {k}."
+    order = np.argsort(distance_list[:, :k], axis=1, kind="stable")
+    rows = np.arange(verlet_list.shape[0])[:, None]
+    verlet_list[:, :k] = verlet_list[rows, order]
+    distance_list[:, :k] = distance_list[rows, order]
+
+
+def average_by_neighbor(pos, box, prop, average_rc: float,
+                        include_self: bool = True) -> np.ndarray:
+    """Neighborhood average of a per-atom property (reference
+    tool_function.py:14 / neighbor.cpp:704)."""
+    from ..neighbor.neighbor import neighbor_search
+
+    verlet, dist, nn = neighbor_search(np.asarray(pos, np.float64), box,
+                                       float(average_rc))
+    prop = np.asarray(prop, np.float64)
+    valid = verlet >= 0
+    j = np.where(valid, verlet, 0)
+    s = np.where(valid, prop[j], 0.0).sum(axis=1)
+    cnt = valid.sum(axis=1).astype(np.float64)
+    if include_self:
+        s = s + prop
+        cnt = cnt + 1.0
+    return s / np.maximum(cnt, 1.0)
+
+
+def wrap_pos(pos, box) -> np.ndarray:
+    """Wrap positions into the periodic box (reference tool_function.py:122)."""
+    from ..core.box import init_box, wrap_positions
+
+    box = init_box(box)
+    return wrap_positions(np.asarray(pos, np.float64), box.matrix,
+                          box.inverse_box, box.origin, box.boundary)
+
+
+def replicate(pos, box, nx: int = 1, ny: int = 1, nz: int = 1):
+    """Replicate positions/box (reference tool_function.py:141).
+    Returns (pos_rep, box_rep)."""
+    from ..core.box import init_box
+
+    box = init_box(box)
+    pos = np.asarray(pos, np.float64)
+    shifts = [
+        ix * box.matrix[0] + iy * box.matrix[1] + iz * box.matrix[2]
+        for ix in range(nx) for iy in range(ny) for iz in range(nz)
+    ]
+    pos_rep = (pos[None] + np.asarray(shifts)[:, None]).reshape(-1, 3)
+    return pos_rep, box.replicate(nx, ny, nz)
 
 _EV_AMU_TO_A_FS = 10.18051  # sqrt(2E/m) in these units -> A/fs divisor
 
