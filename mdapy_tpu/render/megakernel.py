@@ -75,6 +75,11 @@ def build_mega_params(frame, lb, aabb_lo, aabb_hi, cfg, dtype=np.float32):
     # pixel-center offset: matches the XLA paths' dynamic_sched convention
     dynamic_sched = cfg.ao_enabled or (cfg.aa_enabled and cfg.aa_samples > 4)
     p[37] = 0.0 if dynamic_sched else 1.0
+    p[38] = 0.3  # Tachyon material ambient (tachyon_render.h makeTex)
+    if cfg.ao_enabled:
+        # rt_rescale_lights(0.2) parity (tachyon_render.h:199-207): direct
+        # light is rescaled when ambient occlusion provides the sky term
+        p[27] *= 0.2
     return p
 
 
@@ -197,6 +202,7 @@ def _mega_kernel(
     lox, loy, loz_ = params_ref[31], params_ref[32], params_ref[33]
     hix, hiy, hiz = params_ref[34], params_ref[35], params_ref[36]
     off = params_ref[37]
+    ambient = params_ref[38]  # material ambient term (0 for AO sky passes)
     seed = seed_ref[0]
 
     pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
@@ -747,7 +753,7 @@ def _mega_kernel(
                 else:
                     filt = 1.0
                 diffuse = lit * inten * lightcol * filt
-                shade = 0.8 * diffuse + 0.3
+                shade = 0.8 * diffuse + ambient
                 cr = srow(_CR, s) * shade
                 cg = srow(_CG, s) * shade
                 cb = srow(_CB, s) * shade
@@ -807,6 +813,15 @@ def render_image_mega(
     on-device serving path — keeps the host transfer at 3 bytes/pixel)."""
     nb, nchunks, _, CH = chunk_data.shape
     assert nb == tiles_x * tiles_y
+    # the kernel is f32 by design; upstream may hold f64 (CPU x64 paths)
+    chunk_data = jnp.asarray(chunk_data, jnp.float32)
+    zmin = jnp.asarray(zmin, jnp.float32)
+    params = jnp.asarray(params, jnp.float32)
+    if ldata is not None:
+        ldata = jnp.asarray(ldata, jnp.float32)
+    if other_data is not None:
+        other_data = jnp.asarray(other_data, jnp.float32)
+        occ_recs = jnp.asarray(occ_recs, jnp.float32)
     G = TILE_GROUP
     nbp = -(-nb // G) * G
     if not shadows:

@@ -8,6 +8,7 @@ map onto the tracer device.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -20,6 +21,22 @@ from .scene import build_scene
 from .tracer import RenderConfig, quantize, render_image
 
 __all__ = ["TachyonRender", "CameraParams", "preset_camera", "save_image", "load_image"]
+
+
+def _fib_hemisphere(k: int) -> np.ndarray:
+    """k stratified unit directions on the upper hemisphere (Fibonacci)."""
+    i = np.arange(k, dtype=np.float64) + 0.5
+    phi = i * (np.pi * (3.0 - np.sqrt(5.0)))
+    z = i / k
+    r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    return np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1)
+
+
+def _quantize_device(img_f):
+    """Truncating *255 clamp on-device (imageio.c:174-186 parity)."""
+    import jax.numpy as jnp
+
+    return jnp.clip(img_f * 255.0, 0.0, 255.0).astype(jnp.uint8)
 
 
 def save_image(path: str, img: np.ndarray) -> None:
@@ -267,7 +284,18 @@ class TachyonRender:
                 self._scene_cache = scene
                 self._scene_key = cache_key
             _t0 = _mark("scene_build", _t0)
-            if cfg.ao_enabled or not self.use_tiling:
+            # AO mode: "exact" = brute per-sample jittered hemisphere (the
+            # reference's estimator; O(rays x primitives), small scenes);
+            # "fast" = K antipodal stratified sky directions through the
+            # megakernel's shadow machinery (noise-free quadrature of the
+            # same integral; scales to millions of atoms); "auto" picks by
+            # scene size.
+            ao_mode = os.environ.get("MDAPY_TPU_AO_MODE", "auto")
+            ao_fast = cfg.ao_enabled and self.use_tiling and (
+                ao_mode == "fast"
+                or (ao_mode == "auto" and scene.sph_center.shape[0] > 20000)
+            )
+            if (cfg.ao_enabled and not ao_fast) or not self.use_tiling:
                 img_f = render_image(
                     scene,
                     frame["origin"], frame["lowleft"], frame["iplaneright"],
@@ -285,13 +313,14 @@ class TachyonRender:
                     bins, lb, self._chunk_data_cached = self._accel_cache
                 else:
                     bins = build_screen_bins(scene, frame, int(width), int(height))
-                    # grid=48: ~one light cell per 16px screen tile at typical
-                    # zoom — measured sweet spot for the megakernel's cell-rect
-                    # iteration (48 beats 128 by ~15% on the 1M-atom bench).
-                    # MDAPY_TPU_LIGHT_GRID overrides for tuning sweeps.
+                    # grid=32: measured sweet spot for the megakernel's
+                    # cell-rect iteration on the 1M-atom 1080p bench
+                    # (sweep: 16->76.7ms, 24->54.0, 32->54.4, 48->58.9,
+                    # 64->63.7, 96->78.5 ms/frame).  MDAPY_TPU_LIGHT_GRID
+                    # overrides for tuning sweeps.
                     import os as _os
 
-                    _lg = int(_os.environ.get("MDAPY_TPU_LIGHT_GRID", "48"))
+                    _lg = int(_os.environ.get("MDAPY_TPU_LIGHT_GRID", "32"))
                     lb = build_light_bins(
                         scene, frame["light_dir"].astype(dtype), grid=_lg
                     )
@@ -317,7 +346,18 @@ class TachyonRender:
                     and bins.tile_px == 16 and cfg.direct_light_enabled
                     and (sphere_only or k_other <= 512)
                 )
-                if use_mega:
+                if cfg.ao_enabled and not use_mega:
+                    # fast AO needs the megakernel; other tiled paths don't
+                    # do AO — brute exact path
+                    img_f = render_image(
+                        scene,
+                        frame["origin"], frame["lowleft"],
+                        frame["iplaneright"], frame["iplaneup"],
+                        frame["view"], frame["light_dir"],
+                        cfg, int(width), int(height),
+                        bool(frame["perspective"]), self._seed,
+                    )
+                elif use_mega:
                     from .accel import build_light_records, gather_other_records
                     from .megakernel import build_mega_params, render_image_mega
                     from .pallas_kernels import gather_chunk_data
@@ -374,6 +414,44 @@ class TachyonRender:
                             other_data=other_rec[0], other_count=other_rec[1],
                             occ_recs=other_rec[2], n_occ=other_rec[3],
                         )
+
+                    ao_passes = None
+                    if ao_fast:
+                        # K antipodal stratified sky directions; each is one
+                        # directional-occlusion pass through the megakernel
+                        # (AO term = (2/S) sum vis*|N.d|*skycol decomposes
+                        # into per-direction light passes with ambient=0)
+                        if getattr(self, "_ao_cache_key", None) == cache_key:
+                            ao_passes = self._ao_cache
+                        else:
+                            import jax.numpy as jnp
+
+                            K2 = max(1, int(cfg.ao_samples) // 2)
+                            hemi = _fib_hemisphere(K2)
+                            dirs = np.concatenate([hemi, -hemi], axis=0)
+                            lightcol_k = (4.0 / (2 * K2)) * float(
+                                cfg.ao_brightness
+                            )
+                            lo1 = params[31:34]
+                            hi1 = params[34:37]
+                            ao_passes = []
+                            for dk in dirs:
+                                lb_k = build_light_bins(
+                                    scene, jnp.asarray(dk, dtype), grid=lb.grid
+                                )
+                                lr_k = build_light_records(lb_k, scene)
+                                or_k = gather_other_records(bins, scene, lb_k)
+                                frame_k = dict(frame)
+                                frame_k["light_dir"] = np.asarray(dk, np.float32)
+                                p_k = build_mega_params(frame_k, lb_k, lo1, hi1, cfg)
+                                p_k[27] = lightcol_k
+                                p_k[28:31] = 0.0   # sky passes add no background
+                                p_k[38] = 0.0      # ambient counted once (direct)
+                                ao_passes.append((lr_k, or_k, p_k))
+                            self._ao_cache = ao_passes
+                            self._ao_cache_key = cache_key
+                            _t0 = _mark("ao_accel_build", _t0)
+
                     img_f = render_image_mega(
                         chunk_data, bins.sph_zmin,
                         light_records[0], light_records[1], light_records[2],
@@ -384,9 +462,32 @@ class TachyonRender:
                         perspective=bool(frame["perspective"]),
                         shadows=bool(cfg.shadows_enabled),
                         interpret=(self._backend == "cpu"),
-                        quantized=device_output,
+                        quantized=device_output and not ao_fast,
                         **other_kw,
                     )
+                    if ao_passes is not None:
+                        for lr_k, or_k, p_k in ao_passes:
+                            ok_kw = {}
+                            if or_k is not None:
+                                ok_kw = dict(
+                                    other_data=or_k[0], other_count=or_k[1],
+                                    occ_recs=or_k[2], n_occ=or_k[3],
+                                )
+                            img_f = img_f + render_image_mega(
+                                chunk_data, bins.sph_zmin,
+                                lr_k[0], lr_k[1], lr_k[2],
+                                p_k, self._seed,
+                                S=S, width=int(width), height=int(height),
+                                tiles_x=bins.tiles_x, tiles_y=bins.tiles_y,
+                                grid_n=lb.grid, eps=cfg.eps,
+                                perspective=bool(frame["perspective"]),
+                                shadows=True,
+                                interpret=(self._backend == "cpu"),
+                                quantized=False,
+                                **ok_kw,
+                            )
+                        if device_output:
+                            img_f = _quantize_device(img_f)
                     if device_output:
                         _t0 = _mark("trace", _t0)
                         return img_f
