@@ -258,8 +258,16 @@ def _cyl_screen_seg(
     ps = jnp.minimum(psx, psy)
     if perspective:
         zmin = jnp.maximum(jnp.minimum(z0, z1), 1e-6)
-        rpad = radii / (zmin * ps)
-        active = (z0 > 1e-6) & (z1 > 1e-6) & (radii > 0)
+        # conservative silhouette half-width: r/sqrt(z^2-r^2) (finite-
+        # distance silhouette; paraxial r/z underestimates close up) times
+        # sec^2(theta_max) for off-axis growth, theta_max at the frame
+        # corner (|left|, |bottom| are the corner tangents)
+        sec2 = 1.0 + left * left + bottom * bottom
+        safe = jnp.sqrt(jnp.maximum(zmin * zmin - radii * radii, 1e-12))
+        rpad = radii * sec2 / (safe * ps)
+        # a cylinder whose bounding tube reaches the camera plane cannot be
+        # culled reliably — mark inactive (falls back to the full rect)
+        active = (z0 > 1e-6) & (z1 > 1e-6) & (radii > 0) & (zmin > radii * 1.05)
     else:
         rpad = radii / ps
         active = radii > 0

@@ -118,7 +118,7 @@ _OX, _OY, _OZ = _U, _V, _TAU
 def _mega_kernel(
     params_ref,   # (64,) f32 SMEM — packed per-frame scalars
     seed_ref,     # (1,) i32 SMEM
-    zmin_ref,     # (nb*nchunks,) f32 SMEM — chunk min depths
+    zmin_ref,     # (nb*ZC,) f32 SMEM — chunk min depths, capped at ZC
     loffs_ref,    # (ncells,) i32 SMEM — light CSR starts
     lcnt_ref,     # (ncells,) i32 SMEM — light CSR counts
     ocnt_ref,     # (nb,) i32 SMEM — per-tile cyl/ring candidate counts
@@ -150,6 +150,7 @@ def _mega_kernel(
     shadows: bool,
     other: bool,
     n_occ: int,
+    ZC: int,
     debug_phases: int = 5,
 ):
     G = TILE_GROUP
@@ -163,7 +164,7 @@ def _mega_kernel(
         )
 
     def sph_live(tile):
-        return (tile < nb) & (zmin_ref[jnp.minimum(tile, nb - 1) * nchunks] < BIG_DEPTH)
+        return (tile < nb) & (zmin_ref[jnp.minimum(tile, nb - 1) * ZC] < BIG_DEPTH)
 
     def oth_live(tile):
         if not other:
@@ -184,7 +185,6 @@ def _mega_kernel(
             @pl.when(sph_live(i))
             def _():
                 rowdma(i, i).start()
-        pass
 
     # camera / light scalars
     ox, oy, oz = params_ref[0], params_ref[1], params_ref[2]
@@ -299,8 +299,12 @@ def _mega_kernel(
 
             # ---- front-to-back chunk loop, full width over samples ---------
             def ccond(c):
+                # zmin is depth-sorted, so the capped entry ZC-1 is a
+                # conservative (smaller) stand-in for deeper chunks: the
+                # loop never exits early on stale data, only late
                 zc = zmin_ref[
-                    jnp.minimum(tile, nb - 1) * nchunks + jnp.minimum(c, nchunks - 1)
+                    jnp.minimum(tile, nb - 1) * ZC
+                    + jnp.minimum(jnp.minimum(c, nchunks - 1), ZC - 1)
                 ]
                 return (c < nchunks) & (zc < needed[0])
 
@@ -816,6 +820,11 @@ def render_image_mega(
     # the kernel is f32 by design; upstream may hold f64 (CPU x64 paths)
     chunk_data = jnp.asarray(chunk_data, jnp.float32)
     zmin = jnp.asarray(zmin, jnp.float32)
+    # SMEM budget: cap the prefetched per-tile depth table; entries past
+    # ZC-1 fall back to the (smaller, conservative) ZC-1 value in-kernel
+    ZC = max(1, min(nchunks, max(8, 200_000 // max(nb, 1))))
+    if ZC < nchunks:
+        zmin = zmin[:, :ZC]
     params = jnp.asarray(params, jnp.float32)
     if ldata is not None:
         ldata = jnp.asarray(ldata, jnp.float32)
@@ -839,7 +848,7 @@ def render_image_mega(
         _mega_kernel,
         S=S, nchunks=nchunks, CH=CH, nb=nb, nbp=nbp, tiles_x=tiles_x,
         grid_n=grid_n, eps=eps, perspective=perspective, shadows=shadows,
-        other=other, n_occ=(n_occ if shadows else 0),
+        other=other, n_occ=(n_occ if shadows else 0), ZC=ZC,
         debug_phases=debug_phases,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(

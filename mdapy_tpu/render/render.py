@@ -341,10 +341,20 @@ class TachyonRender:
                     (0 if bins.cyl is None else bins.cyl.cand.shape[1])
                     + (0 if bins.ring is None else bins.ring.cand.shape[1])
                 )
+                # global cyl/ring occluder list is whole-array VMEM in the
+                # megakernel and scanned per tile — bound it (heavy bond
+                # scenes keep the banded path)
+                n_cylring = 0
+                if not sphere_only:
+                    n_cylring = int(np.sum(np.asarray(scene.cyl_radius) > 0)) + int(
+                        np.sum(np.asarray(scene.ring_rout) > 0)
+                    )
                 use_mega = (
                     use_pallas and bins.sph_chunks is not None
                     and bins.tile_px == 16 and cfg.direct_light_enabled
                     and (sphere_only or k_other <= 512)
+                    and (sphere_only or not cfg.shadows_enabled
+                         or n_cylring <= 8192)
                 )
                 if cfg.ao_enabled and not use_mega:
                     # fast AO needs the megakernel; other tiled paths don't
@@ -362,9 +372,10 @@ class TachyonRender:
                     from .megakernel import build_mega_params, render_image_mega
                     from .pallas_kernels import gather_chunk_data
 
-                    if self._chunk_data_cached is not None:
-                        (chunk_data, light_records, params,
-                         other_rec) = self._chunk_data_cached
+                    cached = self._chunk_data_cached
+                    if cached is not None and cached[0] == "mega":
+                        (_, chunk_data, light_records, params,
+                         other_rec) = cached
                     else:
                         chunk_data = gather_chunk_data(
                             bins.sph_chunks, scene.sph_center,
@@ -404,7 +415,8 @@ class TachyonRender:
                             frame, lb, np.asarray(lo1), np.asarray(hi1), cfg
                         )
                         self._chunk_data_cached = (
-                            chunk_data, light_records, params, other_rec
+                            "mega", chunk_data, light_records, params,
+                            other_rec,
                         )
                         self._accel_cache = (bins, lb, self._chunk_data_cached)
                     S = (cfg.aa_samples if cfg.aa_enabled else 0) + 1
@@ -495,8 +507,9 @@ class TachyonRender:
                     from .accel import build_light_records
                     from .pallas_kernels import gather_chunk_data
 
-                    if self._chunk_data_cached is not None:
-                        chunk_data, light_records = self._chunk_data_cached
+                    cached = self._chunk_data_cached
+                    if cached is not None and cached[0] == "pallas":
+                        _, chunk_data, light_records = cached
                     else:
                         chunk_data = gather_chunk_data(
                             bins.sph_chunks, scene.sph_center,
@@ -508,7 +521,9 @@ class TachyonRender:
                         light_records = (
                             build_light_records(lb, scene) if sphere_only else None
                         )
-                        self._chunk_data_cached = (chunk_data, light_records)
+                        self._chunk_data_cached = (
+                            "pallas", chunk_data, light_records,
+                        )
                         self._accel_cache = (bins, lb, self._chunk_data_cached)
                     # render in horizontal tile bands to bound HBM usage
                     band_rows = max(1, 2048 // bins.tiles_x)
