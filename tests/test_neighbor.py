@@ -158,3 +158,32 @@ def test_dense_matches_gather_kernel():
         k = c1[i]
         np.testing.assert_allclose(np.asarray(d2)[i, :k], d1[i, :k], atol=1e-12)
         assert set(np.asarray(v2)[i, :k]) == set(v1[i, :k])
+
+
+def test_create_bonds_scalar_and_pairwise_and_element():
+    """create_bonds cutoff normalization (reference test_build_bond.py):
+    scalar, (type,type)->rc dict, and (element,element)->rc dict."""
+    import mdapy_tpu as mp
+    from mdapy_tpu.core.box import Box
+
+    data = {
+        "x": np.array([0.0, 1.0, 2.3, 5.0]),
+        "y": np.zeros(4),
+        "z": np.zeros(4),
+        "type": np.array([1, 2, 2, 1], np.int32),
+    }
+    s = mp.System(data=dict(data), box=Box([10.0, 10.0, 10.0], boundary=[0, 0, 0]))
+    bond = s.create_bonds(1.5)
+    np.testing.assert_array_equal(bond, [[0, 1], [1, 2]])
+    np.testing.assert_array_equal(s.bond, [[0, 1], [1, 2]])
+
+    s2 = mp.System(data=dict(data), box=Box([10.0, 10.0, 10.0], boundary=[0, 0, 0]))
+    bond = s2.create_bonds({(1, 1): 0.5, (1, 2): 1.1, (2, 2): 1.2})
+    np.testing.assert_array_equal(bond, [[0, 1]])
+
+    edata = dict(data)
+    del edata["type"]
+    edata["element"] = np.array(["Cu", "Zr", "Zr", "Cu"], dtype=object)
+    s3 = mp.System(data=edata, box=Box([10.0, 10.0, 10.0], boundary=[0, 0, 0]))
+    bond = s3.create_bonds({("Cu", "Cu"): 0.5, ("Cu", "Zr"): 1.1, ("Zr", "Zr"): 1.2})
+    np.testing.assert_array_equal(bond, [[0, 1]])
