@@ -38,6 +38,12 @@ CFG = RenderConfig(
     aa_samples=0, aa_enabled=False, ao_samples=0, ao_enabled=False,
     shadows_enabled=True,
 )
+# gradient config: shadows off — the preset view is shadow-dominated
+# (ambient-only shading has zero position gradients a.e.)
+CFG_GRAD = RenderConfig(
+    aa_samples=0, aa_enabled=False, ao_samples=0, ao_enabled=False,
+    shadows_enabled=False,
+)
 
 
 def test_sharded_forward_matches_single_device():
@@ -77,7 +83,7 @@ def test_sharded_grads_match_unsharded():
                   "light_dir")
     )
     target = np.asarray(
-        render_image(scene, *camargs, CFG, W, H, True, 0)
+        render_image(scene, *camargs, CFG_GRAD, W, H, True, 0)
     ) * 0.5
 
     def loss_unsharded(params):
@@ -85,13 +91,14 @@ def test_sharded_grads_match_unsharded():
         s2 = dataclasses.replace(
             scene, sph_center=c, sph_radius=r, sph_color=col
         )
-        img = render_image(s2, *camargs, CFG, W, H, True, 0)
+        img = render_image(s2, *camargs, CFG_GRAD, W, H, True, 0)
         return jnp.mean((img - jnp.asarray(target)) ** 2)
 
     ref_loss, ref_grads = jax.value_and_grad(loss_unsharded)(
         (scene.sph_center, scene.sph_radius, scene.sph_color)
     )
-    loss, grads = render_train_step(scene, frame, target, CFG, W, H, mesh)
+    assert float(jnp.linalg.norm(ref_grads[0])) > 0  # grads must not vanish
+    loss, grads = render_train_step(scene, frame, target, CFG_GRAD, W, H, mesh)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
     for g, gref in zip(grads, ref_grads):
         np.testing.assert_allclose(
