@@ -160,3 +160,30 @@ def test_ao_statistical(golden):
     d = np.abs(g[..., :3].astype(float) - m[..., :3].astype(float))
     assert d.mean() < 4.0
     assert np.percentile(d, 99) < 25.0
+
+
+def test_closeup_cylinder_cull_no_holes():
+    """Perspective close-up of a thick bond: the tile cull must keep every
+    covered tile (the paraxial r/z pad underestimated the silhouette near
+    the camera — regression for the conservative sqrt(z^2-r^2) bound)."""
+    import mdapy_tpu as mp
+    from mdapy_tpu.render.camera import CameraParams
+
+    pos = np.array([[0.0, 0, 0], [6.0, 0, 0]])
+    colors = np.tile(np.array([[0.8, 0.3, 0.3, 1.0]], np.float32), (2, 1))
+    radii = np.full(2, 0.8, np.float32)
+    bond_edges = np.array([[[0.5, 0, 0], [5.5, 0, 0]]])
+    cam = CameraParams(
+        position=(3.0, 0.0, 2.2), direction=(0, 0, -1), up=(0, 1, 0),
+        field_of_view=np.radians(60.0), is_perspective=True,
+    )
+    ren = mp.TachyonRender(backend="cpu", antialiasing=False, ao=False)
+    img_tiled = ren.render(pos, colors, radii, camera=cam,
+                           bond_edges=bond_edges, bond_radius=0.7,
+                           width=160, height=120)
+    ren2 = mp.TachyonRender(backend="cpu", antialiasing=False, ao=False)
+    ren2.use_tiling = False
+    img_brute = ren2.render(pos, colors, radii, camera=cam,
+                            bond_edges=bond_edges, bond_radius=0.7,
+                            width=160, height=120)
+    np.testing.assert_array_equal(img_tiled[..., :3], img_brute[..., :3])
