@@ -37,9 +37,11 @@ def knn_search(
         # without periodic images there simply aren't k other atoms
         raise ValueError(f"Need more than k={k} atoms, got {n}")
     if rc_initial is None:
-        # density-seeded radius: expected k neighbors in a ball + 60% margin
+        # density-seeded radius: expected k neighbors in a ball + 45% margin
+        # (retry loop below escalates 1.5x on undershoot; 1.45 keeps the
+        # candidate width ~30% tighter than the old 1.6 for uniform systems)
         vol = abs(box.volume)
-        rc_initial = 1.6 * (3.0 * (k + 1) / (4.0 * np.pi * n / vol)) ** (1.0 / 3.0)
+        rc_initial = 1.45 * (3.0 * (k + 1) / (4.0 * np.pi * n / vol)) ** (1.0 / 3.0)
     rc = float(rc_initial)
     for _attempt in range(24):
         pos_c, box_c, n_images = replicate_for_small_box(pos, box, rc)
