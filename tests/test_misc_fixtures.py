@@ -267,3 +267,39 @@ def test_cna_adaptive_perfect_crystals():
     hcp = mp.build_crystal("Mg", "hcp", 3.21, nx=4, ny=4, nz=4)
     hcp.cal_common_neighbor_analysis()
     assert (np.asarray(hcp.data["cna"]) == 2).all()
+
+
+# ------------------------------------------------------- spatial binning
+def test_spatial_binning_analytic():
+    """1-D and 2-D binning with analytic expectations (reference
+    spatial_binning.py:10-236 semantics: bin width, mean/sum/count ops)."""
+    from mdapy_tpu.analysis.spatial_binning import SpatialBinning
+    from mdapy_tpu.core.box import Box
+
+    # 4 atoms on a line, one per 5-wide bin in x
+    data = {
+        "x": np.array([1.0, 6.0, 11.0, 16.0]),
+        "y": np.full(4, 2.0),
+        "z": np.full(4, 2.0),
+        "mass": np.array([1.0, 2.0, 3.0, 4.0]),
+    }
+    box = Box([20.0, 4.0, 4.0])
+    sb = SpatialBinning(data, box, "x", bin_width=5.0)
+    sb.compute(["mass", "mass"], ["sum", "count"])
+    np.testing.assert_allclose(sb.result["mass_sum"], [1, 2, 3, 4])
+    np.testing.assert_allclose(sb.result["mass_count"], [1, 1, 1, 1])
+
+    # 2-D xy binning: mean of a property constant per quadrant
+    rng = np.random.default_rng(5)
+    n = 400
+    d2 = {
+        "x": rng.uniform(0, 10, n),
+        "y": rng.uniform(0, 10, n),
+        "z": rng.uniform(0, 10, n),
+    }
+    d2["q"] = np.where(d2["x"] < 5, 1.0, 2.0) * np.where(d2["y"] < 5, 1.0, 3.0)
+    sb2 = SpatialBinning(d2, Box([10.0, 10.0, 10.0]), "xy", bin_width=5.0)
+    sb2.compute("q", "mean")
+    np.testing.assert_allclose(
+        sb2.result["q_mean"], [[1.0, 3.0], [2.0, 6.0]]
+    )
