@@ -149,9 +149,12 @@ def _bin_pairs(verlet, dist, type_idx, rc, nbin, ntype):
     tj = type_idx[jnp.maximum(verlet, 0)]
     flat = (ti * ntype + tj) * nbin + k
     flat = jnp.where(ok, flat, ntype * ntype * nbin)
-    hist = jnp.zeros(ntype * ntype * nbin + 1, jnp.float64 if dist.dtype == jnp.float64 else jnp.float32)
-    hist = hist.at[flat.reshape(-1)].add(1.0)
-    return hist[:-1].reshape(ntype, ntype, nbin)
+    # int32 accumulator: float32 silently saturates at 2^24 counts/bin
+    hist = jnp.zeros(ntype * ntype * nbin + 1, jnp.int32)
+    hist = hist.at[flat.reshape(-1)].add(1)
+    return hist[:-1].reshape(ntype, ntype, nbin).astype(
+        jnp.float64 if dist.dtype == jnp.float64 else jnp.float32
+    )
 
 
 @functools.partial(
@@ -164,7 +167,9 @@ def _stream_bin(pos, pos_all, type_idx, type_all, matrix, inv, boundary,
     Equivalent to `_bin_pairs` over an exact neighbor list but with O(block*M)
     working set. Self-pairs (exact zero distance at the identity image) are
     excluded; periodic self-images within rc are counted, matching the
-    replicated-verlet path.
+    replicated-verlet path. Known deviation: two *distinct* atoms at exactly
+    coincident coordinates are excluded here (zero-distance test) but kept
+    by the index-based verlet path — degenerate inputs only.
     """
     n = pos.shape[0]
     npad = ((n + block - 1) // block) * block
@@ -187,8 +192,10 @@ def _stream_bin(pos, pos_all, type_idx, type_all, matrix, inv, boundary,
         k = jnp.clip((dist / dr).astype(jnp.int32), 0, nbin - 1)
         flat = (jnp.minimum(ti, ntype - 1)[:, None] * ntype + type_all[None, :]) * nbin + k
         flat = jnp.where(ok, flat, sentinel)
-        return hist.at[flat.reshape(-1)].add(1.0)
+        return hist.at[flat.reshape(-1)].add(1)
 
-    hist0 = jnp.zeros(sentinel + 1, pos.dtype)
+    # int32 accumulator (float32 saturates at 2^24 counts per bin; the
+    # streaming path engages exactly when pair counts are huge)
+    hist0 = jnp.zeros(sentinel + 1, jnp.int32)
     hist = jax.lax.fori_loop(0, npad // block, body, hist0)
-    return hist[:-1].reshape(ntype, ntype, nbin)
+    return hist[:-1].reshape(ntype, ntype, nbin).astype(pos.dtype)

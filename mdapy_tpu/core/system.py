@@ -944,10 +944,26 @@ class System:
             )
             formulas[int(lab)] = formula
             counts[formula] += 1
+        def _canonical(f: str) -> str:
+            # 'OH2' and 'H2O' both normalize to the alphabetical form the
+            # counter produces (reference system.py:2668-2706 regex-parses
+            # and sorts user formulas the same way)
+            import re
+
+            c = Counter()
+            for el, num in re.findall(r"([A-Z][a-z]?)(\d*)", f):
+                if el:
+                    c[el] += int(num) if num else 1
+            return "".join(
+                f"{e}{c[e] if c[e] > 1 else ''}" for e in sorted(c)
+            )
+
         if add_mol_id and search_species:
             # mol_id = zero-based index into search_species, -1 if the atom's
             # molecule is not a searched formula (reference system.py:2610-2615).
-            formula_to_mid = {f: i for i, f in enumerate(search_species)}
+            formula_to_mid = {
+                _canonical(f): i for i, f in enumerate(search_species)
+            }
             label_to_mid = {
                 lab: formula_to_mid.get(f, -1) for lab, f in formulas.items()
             }
@@ -955,5 +971,5 @@ class System:
                 [label_to_mid[int(l)] for l in labels], dtype=np.int32
             )
         if search_species:
-            return {k: counts.get(k, 0) for k in search_species}
+            return {k: counts.get(_canonical(k), 0) for k in search_species}
         return dict(counts.most_common(check_most))

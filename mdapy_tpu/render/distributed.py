@@ -24,7 +24,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8: jax.shard_map (check_vma kwarg)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        kw.pop("check_rep", None)
+        return _shard_map(f, check_vma=False, **kw)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from .tracer import RenderConfig, render_image
 
@@ -35,6 +43,10 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "tiles") -> Mesh:
     """1-D mesh over the first ``n_devices`` devices (default: all)."""
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devs)} available"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
@@ -56,7 +68,8 @@ def render_image_sharded(
 ):
     """Render (H, W, 3) with scanline bands sharded across ``mesh``.
 
-    ``height`` must divide evenly by the mesh size. The result equals the
+    ``height`` must divide evenly by the mesh size. For deterministic
+    configs (no AA jitter / AO sampling) the result equals the
     single-device `render_image` output: each device traces rows
     [row0, row0+rows) of the bottom-up ray grid and the bands are laid out
     top-down (device 0 gets the top band), so the sharded output concatenates
@@ -80,9 +93,12 @@ def render_image_sharded(
     def shard_fn(band_id, origin, lowleft, ipr, ipu, view, light):
         row0 = band_id[0] * rows
         ll = _band_lowleft(lowleft, ipu, row0)
+        # distinct RNG stream per band: render_image folds its PRNG key
+        # with the band-local chunk index, which restarts at 0 per shard
+        band_seed = seed + band_id[0] * jnp.int32(9973)
         return render_image(
             scene, origin, ll, ipr, ipu, view, light,
-            cfg, width, rows, perspective, seed, chunk=chunk,
+            cfg, width, rows, perspective, band_seed, chunk=chunk,
         )
 
     fn = shard_map(
@@ -135,10 +151,11 @@ def render_train_step(
         )
         row0 = band_id * rows
         ll = _band_lowleft(cam["lowleft"], cam["iplaneup"], row0)
+        band_seed = seed + band_id * jnp.int32(9973)
         img = render_image(
             scene2, cam["origin"], ll, cam["iplaneright"], cam["iplaneup"],
             cam["view"], cam["light_dir"],
-            cfg, width, rows, perspective, seed, chunk=chunk,
+            cfg, width, rows, perspective, band_seed, chunk=chunk,
         )
         return jnp.mean((img - tgt) ** 2)
 
