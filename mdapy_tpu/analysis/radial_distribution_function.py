@@ -7,6 +7,13 @@ g_ab = (hist_ab + hist_ba) / (n_a n_b) / shell / (2 if a!=b else 1).
 One TPU path serves both of the reference's kernels (Verlet and streaming):
 the cell-list candidate stream is binned in chunks, so memory stays O(N)
 even for large cutoffs (small-box replication handles rc > thickness/2).
+
+Streaming auto-selects when rc >= min periodic thickness/3 (the reference's
+rule, system.py:2275-2291).  Known deviation of the streaming path: two
+*distinct* atoms at exactly coincident coordinates are excluded (self-pairs
+are identified by zero distance), while the Verlet path keeps them — this
+only matters for degenerate inputs; pass ``streaming=False`` to force the
+index-based path.
 """
 
 from __future__ import annotations
@@ -192,10 +199,15 @@ def _stream_bin(pos, pos_all, type_idx, type_all, matrix, inv, boundary,
         k = jnp.clip((dist / dr).astype(jnp.int32), 0, nbin - 1)
         flat = (jnp.minimum(ti, ntype - 1)[:, None] * ntype + type_all[None, :]) * nbin + k
         flat = jnp.where(ok, flat, sentinel)
-        return hist.at[flat.reshape(-1)].add(1)
+        # int32 partial per block (exact; a single block of `block` centers
+        # cannot realistically put >2^31 pairs in one bin), reduced into a
+        # float accumulator so huge total pair counts can never wrap
+        # negative (f64 exact to 2^53; f32 loses only ulp-level precision
+        # past 2^24 because partials arrive as large block sums)
+        part = jnp.zeros(sentinel + 1, jnp.int32).at[flat.reshape(-1)].add(1)
+        return hist + part.astype(hist.dtype)
 
-    # int32 accumulator (float32 saturates at 2^24 counts per bin; the
-    # streaming path engages exactly when pair counts are huge)
-    hist0 = jnp.zeros(sentinel + 1, jnp.int32)
+    acc_dtype = jnp.float64 if pos.dtype == jnp.float64 else jnp.float32
+    hist0 = jnp.zeros(sentinel + 1, acc_dtype)
     hist = jax.lax.fori_loop(0, npad // block, body, hist0)
     return hist[:-1].reshape(ntype, ntype, nbin).astype(pos.dtype)

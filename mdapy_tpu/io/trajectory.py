@@ -63,7 +63,12 @@ def _split_dump_frames(lines: List[str]) -> List[List[str]]:
 
 def _has_cell(info: dict) -> bool:
     lat = info.get("Lattice", info.get("lattice"))
-    return lat is not None and np.fromstring(str(lat), sep=" ").size == 9
+    if lat is None:
+        return False
+    try:
+        return np.fromiter(str(lat).split(), dtype=np.float64).size == 9
+    except ValueError:
+        return False
 
 
 def _xyz_frame_offsets(lines: List[str]) -> List[int]:
@@ -220,7 +225,7 @@ class Trajectory:
                     if kk not in ("Lattice", "lattice", "Properties", "properties", "pbc", "Origin"):
                         ginfo[kk] = _maybe_number(vv)
             if _has_cell(info):
-                lat = np.fromstring(str(info.get("Lattice", info.get("lattice"))), sep=" ")
+                lat = np.fromiter(str(info.get("Lattice", info.get("lattice"))).split(), dtype=np.float64)
                 boundary = [1, 1, 1]
                 if "pbc" in info:
                     boundary = [
@@ -228,7 +233,7 @@ class Trajectory:
                     ]
                 origin = np.zeros(3)
                 if "Origin" in info:
-                    origin = np.fromstring(str(info["Origin"]), sep=" ")
+                    origin = np.fromiter(str(info["Origin"]).split(), dtype=np.float64)
                 box = Box(lat.reshape(3, 3), boundary, origin)
             else:
                 pos = np.column_stack([cols["x"], cols["y"], cols["z"]])

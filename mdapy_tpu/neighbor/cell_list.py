@@ -232,9 +232,12 @@ def dense_eligible(ncells, boundary, M: int) -> bool:
     dedup) and a bounded per-plane distance tile."""
     bnd = tuple(int(b) for b in boundary)
     plane_bytes = ncells[1] * ncells[2] * M * (27 * M) * 4
+    # the plane body materializes several d2-sized temporaries plus sort
+    # key+payload copies, so peak HBM is a small multiple of this bound —
+    # keep it well under device HBM (512 MiB here ~= a few GiB peak)
     return (
         all((not bnd[ax]) or ncells[ax] >= 3 for ax in range(3))
-        and plane_bytes < (1 << 31)
+        and plane_bytes < (1 << 29)
     )
 
 

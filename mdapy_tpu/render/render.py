@@ -69,6 +69,9 @@ def _default_colors(system) -> np.ndarray:
     return np.c_[rgb, np.ones(n)].astype(np.float32)
 
 
+_WARNED_CPU_FALLBACK = False
+
+
 class TachyonRender:
     """Differentiable TPU ray tracer with the reference renderer's look.
 
@@ -98,6 +101,29 @@ class TachyonRender:
                 f"backend must be 'tpu', 'cpu', 'gpu' or 'auto', got {backend!r}"
             )
         self._backend = "cpu" if backend == "cpu" else "tpu"
+        # pre-flight diagnostics (parity with the reference's GPU pre-flight
+        # checks, tachyon_optix_impl.cu:232-296): an explicit backend="tpu"
+        # request that silently lands on the CPU interpreter path should warn
+        if backend == "tpu":
+            import jax as _jax
+
+            try:
+                platform = _jax.devices()[0].platform
+            except Exception:  # pragma: no cover - no devices at all
+                platform = "cpu"
+            global _WARNED_CPU_FALLBACK
+            if platform == "cpu" and not _WARNED_CPU_FALLBACK:
+                _WARNED_CPU_FALLBACK = True
+                import warnings
+
+                warnings.warn(
+                    "TachyonRender(backend='tpu') requested but the default "
+                    "JAX device is CPU — rendering will run on the host. "
+                    "Use backend='auto' to silence this, or install/enable a "
+                    "TPU runtime.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         bg = tuple(float(v) for v in background)
         self._bg_a = bg[3] if len(bg) > 3 else 1.0
         self._cfg = RenderConfig(
@@ -349,11 +375,15 @@ class TachyonRender:
                     n_cylring = int(np.sum(np.asarray(scene.cyl_radius) > 0)) + int(
                         np.sum(np.asarray(scene.ring_rout) > 0)
                     )
+                # fast-AO passes run the megakernel with shadow rays on
+                # regardless of cfg.shadows_enabled, so the occluder bound
+                # must cover the AO case too
                 use_mega = (
                     use_pallas and bins.sph_chunks is not None
                     and bins.tile_px == 16 and cfg.direct_light_enabled
                     and (sphere_only or k_other <= 512)
-                    and (sphere_only or not cfg.shadows_enabled
+                    and (sphere_only
+                         or not (cfg.shadows_enabled or cfg.ao_enabled)
                          or n_cylring <= 8192)
                 )
                 if cfg.ao_enabled and not use_mega:

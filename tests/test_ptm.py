@@ -10,6 +10,8 @@ import mdapy_tpu as mp
 from mdapy_tpu.core.box import Box
 from conftest import REF_FIXTURES
 
+pytestmark = pytest.mark.slow
+
 SA = os.path.join(REF_FIXTURES, "structure_analysis")
 PATHS = sorted(
     p for p in glob.glob(os.path.join(SA, "*.npz"))

@@ -10,6 +10,8 @@ import pytest
 
 from conftest import REF_INPUTS
 
+pytestmark = pytest.mark.slow
+
 QNEP_DIR = os.path.join(REF_INPUTS, "qnep")
 
 
