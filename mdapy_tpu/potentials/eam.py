@@ -160,6 +160,33 @@ class EAM(CalculatorMP):
         return output_name
 
     # -- evaluation --------------------------------------------------------
+    def _packed_tables(self):
+        """Spline node data packed so one row gather fetches the whole local
+        cubic: row [y_m, y_{m+1}, fp_m, fp_{m+1}] per (table, node).
+
+        The round-1 evaluator issued ~16 scalar table gathers per pair
+        (spline_eval x 5 channels); on TPU gathers are latency-bound per
+        *row*, so packing drops the gather count 4x and lets one fetch serve
+        value + derivative."""
+        cached = getattr(self, "_pack_cache", None)
+        if cached is not None:
+            return cached
+
+        def pack(y, fp):
+            # (..., ntab) -> (..., ntab-1, 4)
+            return np.stack(
+                [y[..., :-1], y[..., 1:], fp[..., :-1], fp[..., 1:]], axis=-1
+            )
+
+        nt = self.Nelements
+        rho_pack = pack(self.rho_r, self._rho_fp).reshape(-1, 4)
+        z2r_pack = pack(self._rphi_r, self._z2r_fp).reshape(-1, 4)
+        F_pack = pack(self.F_rho, self._F_fp).reshape(-1, 4)
+        self._pack_cache = (
+            jnp.asarray(rho_pack), jnp.asarray(z2r_pack), jnp.asarray(F_pack)
+        )
+        return self._pack_cache
+
     def calculate(self, system) -> None:
         elems = np.asarray(system.data["element"]).astype(str)
         for e in set(elems.tolist()):
@@ -173,17 +200,24 @@ class EAM(CalculatorMP):
         pos, box, n_images = replicate_for_small_box(system.pos, system.box, self.rc)
         if n_images > 1:
             types = np.tile(types, n_images)
+        from ..neighbor.neighbor import neighbor_search_device
+        from .pairops import reverse_permutation_device
+
         # box already enlarged, so indices refer to the replicated atom set
-        verlet, dist, nn = neighbor_search(pos, box, self.rc)
-        energy, force, virial = _eam_eval(
-            jnp.asarray(pos), jnp.asarray(types),
-            jnp.asarray(verlet), jnp.asarray(dist),
-            jnp.asarray(box.matrix), jnp.asarray(box.inverse_box),
-            jnp.asarray(box.boundary.astype(np.float64)),
-            jnp.asarray(self.F_rho), jnp.asarray(self._F_fp),
-            jnp.asarray(self.rho_r), jnp.asarray(self._rho_fp),
-            jnp.asarray(self._rphi_r), jnp.asarray(self._z2r_fp),
+        pos_d, verlet_d, cnt_d, _ = neighbor_search_device(pos, box, self.rc)
+        rev_d, bad = reverse_permutation_device(verlet_d)
+        if int(bad):  # pragma: no cover - guarded by the build contract
+            raise RuntimeError("asymmetric neighbor list in EAM evaluation")
+        rho_pack, z2r_pack, F_pack = self._packed_tables()
+        energy, force, virial = _eam_force_fast(
+            pos_d, jnp.asarray(types), verlet_d, rev_d,
+            jnp.asarray(box.matrix, pos_d.dtype),
+            jnp.asarray(box.inverse_box, pos_d.dtype),
+            jnp.asarray(box.boundary.astype(np.float64), pos_d.dtype),
+            rho_pack, z2r_pack, F_pack,
             self.drho, self.dr, self.rc,
+            self.nr, self.nrho, self.Nelements,
+            _eam_block(pos_d.shape[0], verlet_d.shape[1]),
         )
         energy = np.asarray(energy)
         force = np.asarray(force)
@@ -213,49 +247,128 @@ class EAM(CalculatorMP):
         return fig, ax
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _eam_eval(
-    pos, types, verlet, dist, matrix, inv, boundary,
-    F_rho, F_fp, rho_r, rho_fp, z2r, z2r_fp, drho, dr, rc,
-):
-    n, M = verlet.shape
-    ok = (verlet >= 0) & (dist <= rc)
-    j = jnp.maximum(verlet, 0)
-    tj = types[j]
-    ti = types[:, None]
+def _eam_block(n: int, M: int) -> int:
+    target = max(1, (1 << 23) // max(M, 1))
+    b = 1 << max(0, (min(n, target) - 1)).bit_length()
+    return max(128, min(b, 16384))
 
-    # pass 1: density + embedding
-    dist0 = jnp.where(ok, dist, 0.0)
-    rho_ij, _ = spline_eval(rho_r, rho_fp, dr, dist0, (tj,))
-    rho_i = jnp.sum(jnp.where(ok, rho_ij, 0.0), axis=1)
-    F_i, dF_i = spline_eval(F_rho, F_fp, drho, rho_i, (types,))
+
+def _spline_from_rows(rows, dx, h):
+    """(f, df) of the LAMMPS cubic from a packed node row
+    [y_m, y_{m+1}, fp_m, fp_{m+1}] (same math as spline_eval)."""
+    ym, yp, fm, fpp = rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3]
+    a = ym
+    b = fm / h
+    c = (3.0 * (yp - ym) - 2.0 * fm - fpp) / (h * h)
+    d = (fm + fpp - 2.0 * (yp - ym)) / (h * h * h)
+    f = a + dx * (b + dx * (c + dx * d))
+    df = b + dx * (2.0 * c + 3.0 * dx * d)
+    return f, df
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nr", "nrho", "nt", "block")
+)
+def _eam_force_fast(
+    pos, types, verlet, rev, matrix, inv, boundary,
+    rho_pack, z2r_pack, F_pack, drho, dr, rc,
+    nr: int, nrho: int, nt: int, block: int,
+):
+    """TPU-fast EAM: chunked two-pass evaluation over packed spline rows.
+
+    Parity: reference src/eam.cpp:40 (density pass -> embedding -> pair
+    force pass with the dF_i + dF_j chain).  The dF_j term is not gathered —
+    it arrives through the reverse-pair assembly (pairops): the per-pair
+    gradient J carries only atom i's own-row terms and J - Jrev reproduces
+    the full symmetric pair force exactly.
+    """
+    n, M = verlet.shape
+    ok = verlet >= 0
+    j = jnp.maximum(verlet, 0)
+    dtype = pos.dtype
+    packed = jnp.concatenate([pos, types.astype(dtype)[:, None]], axis=1)
+
+    npad = -(-n // block) * block
+    nblk = npad // block
+
+    def pad_rows(a, pv):
+        cfg = [(0, npad - n)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, cfg, constant_values=pv).reshape(
+            (nblk, block) + a.shape[1:]
+        )
+
+    pos_b = pad_rows(pos, 0.0)
+    types_b = pad_rows(types, 0)
+    verlet_b = pad_rows(verlet, -1)
+
+    def pair_geom(args):
+        """Per-block displacement/type/node data (recomputed per pass)."""
+        pos_blk, vb = args
+        okb = vb >= 0
+        jb = jnp.maximum(vb, 0)
+        rows = packed[jb]                              # one row gather
+        tjb = rows[..., 3].astype(jnp.int32)
+        disp = rows[..., :3] - pos_blk[:, None, :]
+        frac = disp @ inv
+        frac = frac - jnp.round(frac) * boundary
+        disp = frac @ matrix
+        d = jnp.sqrt(jnp.sum(disp * disp, axis=-1))
+        okb = okb & (d <= rc)
+        d0 = jnp.where(okb, d, 0.0)
+        m = jnp.clip(jnp.floor(d0 / dr).astype(jnp.int32), 0, nr - 2)
+        dx = jnp.clip(d0 - m.astype(dtype) * dr, 0.0, dr)
+        return disp, d0, okb, tjb, m, dx
+
+    # ---- pass 1: density ------------------------------------------------
+    def rho_block(args):
+        _, d0, okb, tjb, m, dx = pair_geom(args)
+        rows = rho_pack[tjb * (nr - 1) + m]            # (B, M, 4)
+        rho_ij, _ = _spline_from_rows(rows, dx, dr)
+        return jnp.sum(jnp.where(okb, rho_ij, 0.0), axis=1)
+
+    rho_i = jax.lax.map(rho_block, (pos_b, verlet_b)).reshape(npad)[:n]
+
+    # embedding (per atom, tiny)
+    mrho = jnp.clip(jnp.floor(rho_i / drho).astype(jnp.int32), 0, nrho - 2)
+    dxr = jnp.clip(rho_i - mrho.astype(dtype) * drho, 0.0, drho)
+    Frows = F_pack[types * (nrho - 1) + mrho]
+    F_i, dF_i = _spline_from_rows(Frows, dxr, drho)
     # LAMMPS linearly extrapolates F beyond the table (pair_eam.cpp:
     # "if (rho > rhomax) phi += fp * (rho - rhomax)")
-    rho_max = (F_rho.shape[-1] - 1) * drho
+    rho_max = (nrho - 1) * drho
     F_i = jnp.where(rho_i > rho_max, F_i + dF_i * (rho_i - rho_max), F_i)
+    dF_b = pad_rows(dF_i, 0.0)
 
-    # pass 2: pair + forces
-    disp = pos[j] - pos[:, None, :]
-    frac = disp @ inv
-    frac = frac - jnp.round(frac) * boundary
-    disp = frac @ matrix
-    rsafe = jnp.where(ok, dist, 1.0)
-    z2, dz2 = spline_eval(z2r, z2r_fp, dr, dist0, (ti, tj))
-    rinv = 1.0 / rsafe
-    phi = z2 * rinv
-    dphi = (dz2 - phi) * rinv
-    _, drho_j = spline_eval(rho_r, rho_fp, dr, dist0, (tj,))
-    _, drho_i = spline_eval(rho_r, rho_fp, dr, dist0, (ti * jnp.ones_like(j),))
-    dF_j = dF_i[j]
-    pair_force = (dphi + dF_i[:, None] * drho_j + dF_j * drho_i) * rinv
-    fvec = pair_force[..., None] * disp
-    fvec = jnp.where(ok[..., None], fvec, 0.0)
-    force = jnp.sum(fvec, axis=1)
-    e_pair = jnp.sum(jnp.where(ok, 0.5 * phi, 0.0), axis=1)
-    energy = F_i + e_pair
-    # virial: v_ab = -0.5 * sum_j disp_a * f_b
-    v = -0.5 * jnp.einsum("ijm,ijn->imn", jnp.where(ok[..., None], disp, 0.0), fvec)
-    return energy, force, v.reshape(n, 9)
+    # ---- pass 2: pair energies + own-row pair gradient J ---------------
+    def pair_block(args):
+        pos_blk, vb, dFb, tib = args
+        disp, d0, okb, tjb, m, dx = pair_geom((pos_blk, vb))
+        zrows = z2r_pack[(tib[:, None] * nt + tjb) * (nr - 1) + m]
+        z2, dz2 = _spline_from_rows(zrows, dx, dr)
+        rrows = rho_pack[tjb * (nr - 1) + m]
+        _, drho_j = _spline_from_rows(rrows, dx, dr)
+        rsafe = jnp.where(okb, d0, 1.0)
+        rinv = 1.0 / rsafe
+        phi = z2 * rinv
+        dphi = (dz2 - phi) * rinv
+        e_pair = jnp.sum(jnp.where(okb, 0.5 * phi, 0.0), axis=1)
+        # dE_i/ddisp: the 0.5*phi pair half + atom i's own embedding chain
+        gmag = (0.5 * dphi + dFb[:, None] * drho_j) * rinv
+        Jb = jnp.where(okb[..., None], gmag[..., None] * disp, 0.0)
+        return e_pair, Jb, jnp.where(okb[..., None], disp, 0.0), okb
+
+    e_pair, J, disp, okd = jax.lax.map(
+        pair_block, (pos_b, verlet_b, dF_b, types_b)
+    )
+    e_pair = e_pair.reshape(npad)[:n]
+    J = J.reshape(npad, M, 3)[:n]
+    disp = disp.reshape(npad, M, 3)[:n]
+    okd = okd.reshape(npad, M)[:n]
+
+    from .pairops import pair_forces_virials
+
+    force, virial, _ = pair_forces_virials(disp, J, verlet, rev, okd)
+    return F_i + e_pair, force, virial
 
 
 class EAMAverage(EAM):

@@ -226,16 +226,57 @@ class NEP(CalculatorMP):
                 raise ValueError(f"{e} not in NEP elements {self.elements_list}")
         return np.array([lut[e] for e in elems], dtype=np.int32)
 
+    def _compact_tables(self, types: np.ndarray):
+        """Slice model tables down to the element types actually present.
+
+        A universal NEP (e.g. UNEP-v1, 16 types) evaluated on a 1-5 element
+        system wastes a factor of (nt/nt_eff)^2 in every per-pair type-mixing
+        contraction on TPU; the descriptor value is unchanged because c/w0
+        tables are purely per-type lookups.  Returns (types_compact, consts)
+        where consts mirrors self._consts() on the reduced type set.
+        """
+        present = np.unique(types)
+        remap = np.full(self.num_types, -1, np.int32)
+        remap[present] = np.arange(len(present), dtype=np.int32)
+        key = tuple(present.tolist())
+        cache = getattr(self, "_compact_cache", None)
+        if cache is None or cache[0] != key:
+            sl = present
+            consts = (
+                jnp.asarray(self.c_radial[:, :, sl][:, :, :, sl]),
+                jnp.asarray(self.c_angular[:, :, sl][:, :, :, sl]),
+                jnp.asarray(self.w0[sl]), jnp.asarray(self.b0[sl]),
+                jnp.asarray(self.w1[sl]), jnp.asarray(self.b1),
+                jnp.asarray(self.q_scaler),
+                jnp.asarray(self.atomic_numbers[sl]),
+            )
+            self._compact_cache = (key, consts)
+        return remap[types], self._compact_cache[1]
+
     def _prepare(self, system):
         types = self._types(system)
         old_n = system.N
-        pos, box, n_images = replicate_for_small_box(
-            system.pos, system.box, self.rc_radial
-        )
+        rc = max(self.rc_radial, self.rc_angular)
+        pos, box, n_images = replicate_for_small_box(system.pos, system.box, rc)
         if n_images > 1:
             types = np.tile(types, n_images)
-        verlet, dist, nn = neighbor_search(pos, box, self.rc_radial)
+        verlet, dist, nn = neighbor_search(pos, box, rc)
         return pos, box, types, verlet, old_n
+
+    def _prepare_device(self, system):
+        """Device-resident prep: positions + Verlet list never leave the
+        accelerator (neighbor_search_device), so force calls avoid the
+        dominant d2h/h2d cost of the (N, M) arrays."""
+        from ..neighbor.neighbor import neighbor_search_device
+
+        types = self._types(system)
+        old_n = system.N
+        rc = max(self.rc_radial, self.rc_angular)
+        pos, box, n_images = replicate_for_small_box(system.pos, system.box, rc)
+        if n_images > 1:
+            types = np.tile(types, n_images)
+        pos_d, verlet_d, cnt_d, _ = neighbor_search_device(pos, box, rc)
+        return pos_d, box, types, verlet_d, old_n
 
     def calculate(self, system, box=None) -> None:
         if box is not None:  # reference-style calculate(data, box) (nep.py:163)
@@ -245,28 +286,27 @@ class NEP(CalculatorMP):
         if self.charge_mode > 0:
             self._calculate_qnep(system)
             return
-        pos, box, types, verlet, old_n = self._prepare(system)
-        args = (
-            jnp.asarray(pos), jnp.asarray(types), jnp.asarray(verlet),
-            jnp.asarray(box.matrix), jnp.asarray(box.inverse_box),
-            jnp.asarray(box.boundary.astype(np.float64)),
-        )
-        consts = self._consts()
-        energies = _nep_energies(*args, *consts, self._static())
-        eps0 = jnp.zeros((3, 3), dtype=jnp.float64)
+        pos_d, box, types, verlet_d, old_n = self._prepare_device(system)
+        from .pairops import reverse_permutation_device
 
-        def etot_for_grad(p, eps):
-            return jnp.sum(
-                _nep_energies_strained(
-                    p, args[1], args[2], args[3], args[4], args[5], eps,
-                    *consts, self._static()
-                )
+        types_c, consts = self._compact_tables(types)
+        rev_d, bad = reverse_permutation_device(verlet_d)
+        if int(bad):  # pragma: no cover - guarded by the build contract
+            raise RuntimeError(
+                "asymmetric neighbor list in NEP force evaluation"
             )
-
-        grads = jax.grad(etot_for_grad, argnums=(0, 1))(args[0], eps0)
-        forces = -np.asarray(grads[0])
-        dEdeps = np.asarray(grads[1])
-        energies = np.asarray(energies)
+        e, F, V, dEdeps = _nep_force_fast(
+            pos_d, jnp.asarray(types_c), verlet_d,
+            rev_d, jnp.asarray(box.matrix, pos_d.dtype),
+            jnp.asarray(box.inverse_box, pos_d.dtype),
+            jnp.asarray(box.boundary.astype(np.float64), pos_d.dtype),
+            *consts, self._static(),
+            _pick_block(pos_d.shape[0], verlet_d.shape[1]),
+        )
+        energies = np.asarray(e)
+        forces = np.asarray(F)
+        virials = np.asarray(V)
+        dEdeps = np.asarray(dEdeps)
         vol = abs(box.volume)
         # stress = (dE/deps)/V symmetrized, Voigt [xx,yy,zz,yz,xz,xy]
         sig = 0.5 * (dEdeps + dEdeps.T) / vol
@@ -274,10 +314,8 @@ class NEP(CalculatorMP):
         self.results["energies"] = energies[:old_n]
         self.results["forces"] = forces[:old_n]
         self.results["stress"] = stress
-        # per-atom virials via the global tensor scaled per atom (uniform
-        # partition — exact sum, approximate distribution)
-        v = -dEdeps
-        self.results["virials"] = np.tile(v.ravel() / len(pos), (old_n, 1))
+        # exact per-atom virials (half-pair convention, sums to -dE/deps)
+        self.results["virials"] = virials[:old_n]
 
     def _calculate_qnep(self, system) -> None:
         """Energies/forces/virials + charges/BEC for nep4_charge* models
@@ -326,25 +364,24 @@ class NEP(CalculatorMP):
         self._ensure(system)
         return self.results["bec"]
 
-    def get_descriptors(self, system) -> np.ndarray:
-        pos, box, types, verlet, old_n = self._prepare(system)
-        q = _nep_descriptor(
-            jnp.asarray(pos), jnp.asarray(types), jnp.asarray(verlet),
-            jnp.asarray(box.matrix), jnp.asarray(box.inverse_box),
-            jnp.asarray(box.boundary.astype(np.float64)),
-            *self._consts(), self._static(),
+    def _descriptor_like(self, system, latent: bool) -> np.ndarray:
+        pos_d, box, types, verlet_d, old_n = self._prepare_device(system)
+        types_c, consts = self._compact_tables(types)
+        q = _nep_descriptor_fast(
+            pos_d, jnp.asarray(types_c), verlet_d,
+            jnp.asarray(box.matrix, pos_d.dtype),
+            jnp.asarray(box.inverse_box, pos_d.dtype),
+            jnp.asarray(box.boundary.astype(np.float64), pos_d.dtype),
+            *consts, self._static(),
+            _pick_block(pos_d.shape[0], verlet_d.shape[1]), latent,
         )
         return np.asarray(q)[:old_n]
 
+    def get_descriptors(self, system) -> np.ndarray:
+        return self._descriptor_like(system, latent=False)
+
     def get_latent_space(self, system) -> np.ndarray:
-        pos, box, types, verlet, old_n = self._prepare(system)
-        lat = _nep_latent(
-            jnp.asarray(pos), jnp.asarray(types), jnp.asarray(verlet),
-            jnp.asarray(box.matrix), jnp.asarray(box.inverse_box),
-            jnp.asarray(box.boundary.astype(np.float64)),
-            *self._consts(), self._static(),
-        )
-        return np.asarray(lat)[:old_n]
+        return self._descriptor_like(system, latent=True)
 
     def _consts(self):
         return (
@@ -466,40 +503,187 @@ def _q_from_s(s_blocks, L_max: int, L4: bool, L5: bool):
     return jnp.stack(qs, axis=-1)
 
 
-def _descriptor_q(pos, types, verlet, matrix, inv, boundary, c_radial, c_angular, st: _NEPStatic):
-    n, M = verlet.shape
+def _pick_block(n: int, M: int) -> int:
+    """Row-block size for the chunked evaluation: bound the largest per-block
+    temporary (B * M * ~50 floats fwd+bwd) to ~100 MB."""
+    target = max(1, (1 << 21) // max(M, 1))  # ~2M pair rows per block
+    b = 1 << max(0, (min(n, target) - 1)).bit_length()
+    return max(128, min(b, 8192))
+
+
+def _block_q(disp, ti, tj, ok, c_radial, c_angular, st: _NEPStatic):
+    """NEP descriptor q for one row block — dense, gather-free type mixing.
+
+    disp (B,M,3) min-imaged with safe-padded slots; ti (B,) int; tj (B,M)
+    int; ok (B,M) valid mask.  The per-pair c[., ., ti, tj] table gather of
+    the naive formulation (a (nmax+1, k, B, M) strided gather — the round-1
+    TPU bottleneck) is replaced by per-type partial sums (radial) and a
+    one-hot contraction over the compacted type set (angular).
+    Returns (q (B, dim), d (B, M)).
+    """
+    d = jnp.linalg.norm(disp, axis=-1)
+    nt = c_radial.shape[-1]
+    ohj = jax.nn.one_hot(tj, nt, dtype=disp.dtype)            # (B,M,t)
+
+    okr = ok & (d < st.rc_radial)
+    # keep the pair axis M minor everywhere: a trailing (nmax+1, ka+1) pair
+    # of small dims forces (8,128) tile padding (3.7x HBM expansion seen in
+    # the round-2 OOM dump); with M minor the tiles stay dense
+    fn_r = _chebyshev_basis(d, st.rc_radial, st.basis_r)      # (B,M,k+1)
+    # per-type radial sums: S[b,t,k] = sum_m [tj=t] fn_k(r_bm)
+    S = jnp.einsum("bmt,bmk->btk", jnp.where(okr[..., None], ohj, 0.0), fn_r)
+    cR_i = c_radial[:, :, ti, :]                              # (nmax+1,k+1,B,t)
+    q_radial = jnp.einsum("nkbt,btk->bn", cR_i, S)
+
+    oka = ok & (d < st.rc_angular)
+    fn_a = _chebyshev_basis(d, st.rc_angular, st.basis_a)     # (B,M,ka+1)
+    fn_aT = jnp.swapaxes(fn_a, 1, 2)                          # (B,ka+1,M)
+    na1, ka1 = st.nmax_a + 1, st.basis_a + 1
+    cA_i = jnp.moveaxis(c_angular[:, :, ti, :], 2, 0)         # (B,na+1,ka+1,t)
+    ohjT = jnp.swapaxes(ohj, 1, 2)                            # (B,t,M)
+    # batched (n*k, t) @ (t, M) per atom -> per-pair mixed coefficients
+    v = jnp.matmul(cA_i.reshape(-1, na1 * ka1, ohjT.shape[1]), ohjT)
+    v = v.reshape(-1, na1, ka1, ohjT.shape[-1])               # (B,na+1,ka+1,M)
+    gn_a = jnp.sum(v * fn_aT[:, None], axis=2)                # (B,na+1,M)
+    q_ang = []
+    for na in range(st.nmax_a + 1):
+        gna = jnp.where(oka, gn_a[:, na, :], 0.0)
+        s_blocks = _angular_s(disp, d, gna, st.L_max)
+        q_ang.append(_q_from_s(s_blocks, st.L_max, st.L4, st.L5))
+    # layout: q[dim_radial + l * (nmax_a+1) + n] (find_q indexing)
+    q_ang = jnp.stack(q_ang, axis=1)                          # (B, na+1, num_L)
+    q_ang = jnp.swapaxes(q_ang, 1, 2).reshape(d.shape[0], -1)
+    return jnp.concatenate([q_radial, q_ang], axis=1), d
+
+
+def _zbl_energy_oh(disp, d, ok, ti, ohj, atomic_numbers, st: _NEPStatic):
+    """ZBL channel with the neighbor atomic number taken through the one-hot
+    (identical values to _zbl_energy, no per-pair int gather)."""
+    zi = atomic_numbers[ti] + 1                               # (B,)
+    zj = ohj @ (atomic_numbers + 1).astype(disp.dtype)        # (B,M)
+    okz = ok & (d < st.zbl_outer) & (d > 1e-6)
+    a_inv = (zi[:, None] ** 0.23 + zj**0.23) * 2.134563
+    zizj = K_C_SP * zi[:, None] * zj
+    x = d * a_inv
+    para = [0.18175, 3.1998, 0.50986, 0.94229, 0.28022, 0.4029, 0.02817, 0.20162]
+    phi = (
+        para[0] * jnp.exp(-para[1] * x) + para[2] * jnp.exp(-para[3] * x)
+        + para[4] * jnp.exp(-para[5] * x) + para[6] * jnp.exp(-para[7] * x)
+    )
+    dsafe = jnp.maximum(d, 1e-30)
+    f = zizj * phi / dsafe
+    r1, r2 = st.zbl_inner, st.zbl_outer
+    pi_factor = jnp.pi / (r2 - r1)
+    fc = jnp.where(
+        d < r1, 1.0,
+        jnp.where(d < r2, jnp.cos(pi_factor * (d - r1)) * 0.5 + 0.5, 0.0),
+    )
+    return jnp.sum(jnp.where(okz, 0.5 * f * fc, 0.0), axis=1)
+
+
+def _block_e(disp, ti, tj, ok, c_radial, c_angular, w0, b0, w1, b1,
+             q_scaler, atomic_numbers, st: _NEPStatic):
+    q, d = _block_q(disp, ti, tj, ok, c_radial, c_angular, st)
+    e, _ = _ann_energy(q * q_scaler[None], ti, w0, b0, w1, b1)
+    if st.zbl:
+        nt = c_radial.shape[-1]
+        ohj = jax.nn.one_hot(tj, nt, dtype=disp.dtype)
+        e = e + _zbl_energy_oh(disp, d, ok, ti, ohj, atomic_numbers, st)
+    return e
+
+
+def _gather_disp(pos, types, verlet, matrix, inv, boundary):
+    """One packed row gather -> (disp (N,M,3) min-imaged safe-padded,
+    tj (N,M) int32, ok (N,M))."""
     ok = verlet >= 0
     j = jnp.maximum(verlet, 0)
-    disp = pos[j] - pos[:, None, :]
+    packed = jnp.concatenate([pos, types.astype(pos.dtype)[:, None]], axis=1)
+    rows = packed[j]                                           # (N,M,4)
+    tj = rows[..., 3].astype(jnp.int32)
+    disp = rows[..., :3] - pos[:, None, :]
     frac = disp @ inv
     frac = frac - jnp.round(frac) * boundary
     disp = frac @ matrix
-    # padded slots get a safe unit displacement so sqrt/div autodiff stays
-    # finite; every contribution is masked by `ok` downstream
     safe = jnp.array([1.0, 0.0, 0.0], disp.dtype)
     disp = jnp.where(ok[..., None], disp, safe)
-    d = jnp.linalg.norm(disp, axis=-1)
-    tj = types[j]
-    ti = types[:, None]
-    okr = ok & (d < st.rc_radial)
-    fn_r = _chebyshev_basis(d, st.rc_radial, st.basis_r)      # (n, M, k)
-    cr = c_radial[:, :, ti, tj]                                # (nmax+1, k, n, M)
-    gn_r = jnp.einsum("nkim,imk->nim", cr, fn_r)               # (nmax+1, n, M)
-    q_radial = jnp.sum(jnp.where(okr[None], gn_r, 0.0), axis=2).T  # (n, nmax+1)
+    return disp, tj, ok
 
-    oka = ok & (d < st.rc_angular)
-    fn_a = _chebyshev_basis(d, st.rc_angular, st.basis_a)
-    ca = c_angular[:, :, ti, tj]
-    gn_a = jnp.einsum("nkim,imk->nim", ca, fn_a)               # (nmax_a+1, n, M)
-    q_ang = []
-    for na in range(st.nmax_a + 1):
-        gna = jnp.where(oka, gn_a[na], 0.0)
-        s_blocks = _angular_s(disp, d, gna, st.L_max)
-        q_ang.append(_q_from_s(s_blocks, st.L_max, st.L4, st.L5))  # (n, num_L)
-    # layout: q[dim_radial + l * (nmax_a+1) + n] (find_q indexing)
-    q_ang = jnp.stack(q_ang, axis=1)                           # (n, nmax_a+1, num_L)
-    q_ang = jnp.swapaxes(q_ang, 1, 2).reshape(n, -1)           # (n, num_L*(nmax_a+1))
-    return jnp.concatenate([q_radial, q_ang], axis=1), disp, d, ok, ti, tj
+
+def _map_blocks(fn, arrays, n: int, block: int, pad_values):
+    """lax.map `fn` over row blocks of each array in `arrays`."""
+    npad = -(-n // block) * block
+    padded = []
+    for a, pv in zip(arrays, pad_values):
+        cfg = [(0, npad - n)] + [(0, 0)] * (a.ndim - 1)
+        padded.append(
+            jnp.pad(a, cfg, constant_values=pv).reshape(
+                (npad // block, block) + a.shape[1:]
+            )
+        )
+    out = jax.lax.map(fn, tuple(padded))
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((npad,) + o.shape[2:])[:n], out
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("st", "block"))
+def _nep_force_fast(pos, types, verlet, rev, matrix, inv, boundary,
+                    c_radial, c_angular, w0, b0, w1, b1, q_scaler,
+                    atomic_numbers, st: _NEPStatic, block: int):
+    """Energies, forces, per-atom virials and dE/deps in one pass.
+
+    TPU-fast restructuring of the round-1 path (which strain-probed a second
+    full evaluation and let the backward pass scatter-add over pairs):
+      * one packed row gather for neighbor positions+types;
+      * per-atom energies as a function of the displacement tensor only;
+      * one value_and_grad w.r.t. disp (dense backward, no scatters);
+      * forces/virials assembled with the reverse-pair permutation
+        (potentials/pairops.py) — gathers, never scatter-adds.
+    """
+    n = pos.shape[0]
+    disp0, tj, ok = _gather_disp(pos, types, verlet, matrix, inv, boundary)
+
+    def eb(args):
+        """Per-block (energies, pair gradient) — the energy of a row block
+        depends only on that block's displacement rows, so value_and_grad
+        stays block-local and lax.map never stacks cross-block residuals."""
+        disp_b, t_b, tj_b, ok_b = args
+
+        def f(d_):
+            e = _block_e(d_, t_b, tj_b, ok_b, c_radial, c_angular,
+                         w0, b0, w1, b1, q_scaler, atomic_numbers, st)
+            return jnp.sum(e), e
+
+        (_, e), Jb = jax.value_and_grad(f, has_aux=True)(disp_b)
+        return e, Jb
+
+    e_atoms, J = _map_blocks(eb, (disp0, types, tj, ok), n, block,
+                             (0.0, 0, 0, False))
+    from .pairops import pair_forces_virials
+
+    F, V, dEdeps = pair_forces_virials(disp0, J, verlet, rev, ok)
+    return e_atoms, F, V, dEdeps
+
+
+@functools.partial(jax.jit, static_argnames=("st", "block", "latent"))
+def _nep_descriptor_fast(pos, types, verlet, matrix, inv, boundary,
+                         c_radial, c_angular, w0, b0, w1, b1, q_scaler,
+                         atomic_numbers, st: _NEPStatic, block: int,
+                         latent: bool = False):
+    n = pos.shape[0]
+    disp0, tj, ok = _gather_disp(pos, types, verlet, matrix, inv, boundary)
+
+    def qb(args):
+        disp_b, t_b, tj_b, ok_b = args
+        q, _ = _block_q(disp_b, t_b, tj_b, ok_b, c_radial, c_angular, st)
+        qs = q * q_scaler[None]
+        if not latent:
+            return qs
+        _, h = _ann_energy(qs, t_b, w0, b0, w1, b1)
+        return w1[t_b] * h
+
+    return _map_blocks(qb, (disp0, types, tj, ok), n, block,
+                       (0.0, 0, 0, False))
 
 
 def _zbl_energy(disp, d, ok, ti, tj, atomic_numbers, st: _NEPStatic):
@@ -532,61 +716,6 @@ def _ann_energy(q_scaled, types, w0, b0, w1, b1):
     w1t = w1[types]
     h = jnp.tanh(jnp.einsum("ind,id->in", w0t, q_scaled) - b0t)
     return jnp.sum(w1t * h, axis=1) - b1, h
-
-
-@functools.partial(jax.jit, static_argnames=("st",))
-def _nep_energies(pos, types, verlet, matrix, inv, boundary,
-                  c_radial, c_angular, w0, b0, w1, b1, q_scaler, atomic_numbers,
-                  st: _NEPStatic):
-    q, disp, d, ok, ti, tj = _descriptor_q(
-        pos, types, verlet, matrix, inv, boundary, c_radial, c_angular, st
-    )
-    e, _ = _ann_energy(q * q_scaler[None], types, w0, b0, w1, b1)
-    if st.zbl:
-        e = e + _zbl_energy(disp, d, ok, ti, tj, atomic_numbers, st)
-    return e
-
-
-@functools.partial(jax.jit, static_argnames=("st",))
-def _nep_energies_strained(pos, types, verlet, matrix, inv, boundary, eps,
-                           c_radial, c_angular, w0, b0, w1, b1, q_scaler,
-                           atomic_numbers, st: _NEPStatic):
-    """Energies with displacements mapped through (I + eps) — the virial
-    probe used for the stress autodiff."""
-    n, M = verlet.shape
-    ok = verlet >= 0
-    j = jnp.maximum(verlet, 0)
-    disp = pos[j] - pos[:, None, :]
-    frac = disp @ inv
-    frac = frac - jnp.round(frac) * boundary
-    disp = frac @ matrix
-    disp = disp @ (jnp.eye(3, dtype=pos.dtype) + eps)
-    safe = jnp.array([1.0, 0.0, 0.0], disp.dtype)
-    disp = jnp.where(ok[..., None], disp, safe)
-    d = jnp.linalg.norm(disp, axis=-1)
-    tj = types[j]
-    ti = types[:, None]
-    okr = ok & (d < st.rc_radial)
-    fn_r = _chebyshev_basis(d, st.rc_radial, st.basis_r)
-    cr = c_radial[:, :, ti, tj]
-    gn_r = jnp.einsum("nkim,imk->nim", cr, fn_r)
-    q_radial = jnp.sum(jnp.where(okr[None], gn_r, 0.0), axis=2).T
-    oka = ok & (d < st.rc_angular)
-    fn_a = _chebyshev_basis(d, st.rc_angular, st.basis_a)
-    ca = c_angular[:, :, ti, tj]
-    gn_a = jnp.einsum("nkim,imk->nim", ca, fn_a)
-    q_ang = []
-    for na in range(st.nmax_a + 1):
-        gna = jnp.where(oka, gn_a[na], 0.0)
-        s_blocks = _angular_s(disp, d, gna, st.L_max)
-        q_ang.append(_q_from_s(s_blocks, st.L_max, st.L4, st.L5))
-    q_ang = jnp.stack(q_ang, axis=1)
-    q_ang = jnp.swapaxes(q_ang, 1, 2).reshape(n, -1)
-    q = jnp.concatenate([q_radial, q_ang], axis=1)
-    e, _ = _ann_energy(q * q_scaler[None], types, w0, b0, w1, b1)
-    if st.zbl:
-        e = e + _zbl_energy(disp, d, ok, ti, tj, atomic_numbers, st)
-    return e
 
 
 # ---------------------------------------------------------------------------
@@ -808,22 +937,3 @@ def _qnep_compute(pos, types, verlet, matrix, inv, boundary, nvec,
     return e_atom, forces, dEdeps, charges, bec
 
 
-@functools.partial(jax.jit, static_argnames=("st",))
-def _nep_descriptor(pos, types, verlet, matrix, inv, boundary,
-                    c_radial, c_angular, w0, b0, w1, b1, q_scaler, atomic_numbers,
-                    st: _NEPStatic):
-    q, *_ = _descriptor_q(
-        pos, types, verlet, matrix, inv, boundary, c_radial, c_angular, st
-    )
-    return q * q_scaler[None]
-
-
-@functools.partial(jax.jit, static_argnames=("st",))
-def _nep_latent(pos, types, verlet, matrix, inv, boundary,
-                c_radial, c_angular, w0, b0, w1, b1, q_scaler, atomic_numbers,
-                st: _NEPStatic):
-    q, *_ = _descriptor_q(
-        pos, types, verlet, matrix, inv, boundary, c_radial, c_angular, st
-    )
-    _, h = _ann_energy(q * q_scaler[None], types, w0, b0, w1, b1)
-    return w1[types] * h

@@ -1,0 +1,126 @@
+"""Shared pair-field machinery for TPU-fast potential evaluation.
+
+The reference evaluates EAM/NEP forces with hand-written per-pair gradient
+kernels (reference: src/eam.cpp:40, extern/NEPCPU/nep.cpp).  The TPU-native
+replacement keeps autodiff but restructures it around one idea:
+
+    per-atom energies depend on positions ONLY through each atom's own
+    displacement rows disp[i, m] = min_image(pos[j_im] - pos[i]).
+
+So one backward pass of sum(E) w.r.t. the dense (N, M, 3) displacement
+tensor yields every pair-gradient J = dE/d(disp) with purely dense compute —
+no scatter-add into (N, 3) (XLA TPU serializes scatters with duplicate
+indices, which is what made naive jax.grad(total_energy)(pos) slow).
+
+Forces then assemble from J with a *gather* using the reverse-pair
+permutation: for the full (symmetric) Verlet list, pair (i, m) with
+j = verlet[i, m] appears exactly once in j's row as (j, rev[i, m]):
+
+    F_i = sum_m J[i, m]  -  sum_m J[verlet[i,m], rev[i,m]]
+
+(∂disp_im/∂pos_i = -I for the own rows; +I where i appears as the neighbor.)
+
+Per-atom virials use the standard half-pair convention (matches the
+reference's 0.5 factor, eam.cpp virial accumulation):
+
+    v_i = -0.5 * sum_m [ disp_im ⊗ (J_im - Jrev_im) ]
+
+which sums to the exact global virial -sum_pairs disp ⊗ J.
+
+The reverse permutation only exists when each (i, j) pair is unique — true
+whenever min-image holds without small-box replication.  Replicated systems
+(a few thousand atoms at most) keep the plain autodiff path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["reverse_permutation", "pair_forces_virials"]
+
+
+def reverse_permutation(verlet: np.ndarray) -> np.ndarray:
+    """rev[i, m] = m' such that verlet[verlet[i, m], m'] == i.
+
+    Host-side (numpy) sort/searchsorted matching — O(P log P) over
+    P = N * M pairs.  Padded slots (verlet < 0) get rev = 0 (masked by the
+    caller via verlet >= 0).  Raises if the list is not symmetric.
+    """
+    n, M = verlet.shape
+    i = np.repeat(np.arange(n, dtype=np.int64), M)
+    j = verlet.reshape(-1).astype(np.int64)
+    valid = j >= 0
+    code = np.where(valid, i * n + j, -1)
+    target = np.where(valid, j * n + i, -1)
+    order = np.argsort(code, kind="stable")
+    sorted_code = code[order]
+    pos = np.searchsorted(sorted_code, target)
+    pos = np.clip(pos, 0, len(sorted_code) - 1)
+    hit = sorted_code[pos] == target
+    if not bool(np.all(hit | ~valid)):
+        bad = int(np.sum(valid & ~hit))
+        raise ValueError(
+            f"neighbor list is not symmetric: {bad} pairs have no reverse "
+            "entry (did capacity overflow truncate rows?)"
+        )
+    partner = order[pos]  # flat pair index i'*M + m' of the reverse pair
+    rev = np.where(valid, partner % M, 0).astype(np.int32)
+    return rev.reshape(n, M)
+
+
+def reverse_permutation_device(verlet, block: int = 1024):
+    """Device-resident rev[i, m] (see reverse_permutation) — chunked
+    row-gather + dense compare, no host transfer of the (N, M) list.
+
+    Returns (rev (N, M) int32, bad scalar int32) — `bad` counts valid pairs
+    with no reverse entry (0 for any symmetric list).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    n, M = verlet.shape
+
+    @functools.partial(jax.jit, static_argnames=("blk",))
+    def _run(verlet, blk):
+        npad = -(-n // blk) * blk
+        vp = jnp.pad(verlet, ((0, npad - n), (0, 0)), constant_values=-1)
+
+        def do(start):
+            vb = jax.lax.dynamic_slice(vp, (start, 0), (blk, M))
+            jb = jnp.maximum(vb, 0)
+            rows = verlet[jb]  # (blk, M, M)
+            iidx = start + jnp.arange(blk, dtype=jnp.int32)
+            match = rows == iidx[:, None, None]
+            rev = jnp.argmax(match, axis=-1).astype(jnp.int32)
+            okb = vb >= 0
+            bad = jnp.sum(okb & ~jnp.any(match, axis=-1))
+            return jnp.where(okb, rev, 0), bad
+
+        revs, bads = jax.lax.map(do, jnp.arange(0, npad, blk))
+        return revs.reshape(npad, M)[:n], jnp.sum(bads)
+
+    return _run(verlet, block)
+
+
+def pair_forces_virials(disp, J, verlet, rev, ok):
+    """Assemble (forces (N,3), per-atom virials (N,9), dE/deps (3,3)).
+
+    disp, J: (N, M, 3); verlet, rev: (N, M) int32; ok: (N, M) bool.
+    All ops are dense gathers/reductions (TPU-friendly).
+    """
+    import jax.numpy as jnp
+
+    jidx = jnp.maximum(verlet, 0)
+    Jm = jnp.where(ok[..., None], J, 0.0)
+    # reverse-pair gradient rows: Jrev[i, m] = J[j, rev[i, m]]
+    Jrev = Jm[jidx, rev]
+    Jrev = jnp.where(ok[..., None], Jrev, 0.0)
+    force = jnp.sum(Jm, axis=1) - jnp.sum(Jrev, axis=1)
+    dispm = jnp.where(ok[..., None], disp, 0.0)
+    # force contribution to atom i from pair (i,m): f_im = J_im - Jrev_im
+    pairf = Jm - Jrev
+    v = -0.5 * jnp.einsum("ima,imb->iab", dispm, pairf)
+    dEdeps = jnp.einsum("ima,imb->ab", dispm, Jm)
+    return force, v.reshape(v.shape[0], 9), dEdeps
