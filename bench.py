@@ -55,6 +55,67 @@ def measure_reference(pos, colors, radii, cam, width=384, height=216, aa=2):
     return rays / dt
 
 
+def bench_potentials():
+    """NEP/EAM force-call wall-time at 256k atoms vs the reference NEPCPU
+    engine compiled from the read-only reference sources (2 host threads —
+    everything this host has). Returns a dict of extra metrics."""
+    import time
+
+    import mdapy_tpu as mp
+    from mdapy_tpu.potentials.eam import EAM, EAMGenerator
+    from mdapy_tpu.potentials.nep import NEP
+
+    out = {}
+    s = mp.build_crystal("Cu", "fcc", 3.615, nx=40, ny=40, nz=40)  # 256k
+
+    nep = NEP("/root/reference/tests/input_files/UNEP-v1.txt")
+    nep.calculate(s)  # compile
+    t0 = time.time(); nep.calculate(s); t_nep = time.time() - t0
+    out["nep_force_256k_s"] = round(t_nep, 3)
+
+    EAMGenerator(["Cu"], output_filename="/tmp/Cu.eam.alloy")
+    eam = EAM("/tmp/Cu.eam.alloy")
+    eam.calculate(s)
+    t0 = time.time(); eam.calculate(s); t_eam = time.time() - t0
+    out["eam_force_256k_s"] = round(t_eam, 3)
+
+    # reference NEPCPU wall-time (warm + 1 timed rep)
+    try:
+        import json as _json
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        binp = "/tmp/nepcpu_bench"
+        if not os.path.exists(binp):
+            subprocess.run(
+                ["sh", os.path.join(here, "tools", "nepcpu_baseline", "build.sh"), binp],
+                check=True, capture_output=True, timeout=300,
+            )
+        r = subprocess.run(
+            [binp, "40", "/root/reference/tests/input_files/UNEP-v1.txt", "1"],
+            capture_output=True, text=True, timeout=900,
+        )
+        ref = _json.loads(r.stdout.strip().splitlines()[-1])
+        out["nepcpu_ref_256k_s"] = round(ref["seconds"], 3)
+        out["nep_vs_nepcpu_speedup"] = round(ref["seconds"] / t_nep, 2)
+    except Exception:
+        pass
+
+    # neighbor build, device-resident, 1M atoms
+    import jax
+
+    from mdapy_tpu.neighbor.neighbor import neighbor_search_device
+
+    s1 = mp.build_crystal("Cu", "fcc", 3.615, nx=63, ny=63, nz=63)
+    r1 = neighbor_search_device(s1.pos, s1.box, 5.0)
+    jax.block_until_ready(r1[1])
+    t0 = time.time()
+    r1 = neighbor_search_device(s1.pos, s1.box, 5.0)
+    jax.block_until_ready(r1[1])
+    out["neighbor_1M_rc5_s"] = round(time.time() - t0, 3)
+    return out
+
+
 def main():
     import jax
 
@@ -103,11 +164,19 @@ def main():
         ref = None
     vs = (ours / ref) if ref else 0.0
 
+    extra = {}
+    if os.environ.get("BENCH_SKIP_POTENTIALS", "0") != "1":
+        try:
+            extra = bench_potentials()
+        except Exception as exc:  # keep the primary metric robust
+            extra = {"potentials_error": repr(exc)[:200]}
+
     print(json.dumps({
         "metric": "render_rays_per_s_1M_atoms_1080p",
         "value": round(ours / 1e9, 4),
         "unit": "Grays/s",
         "vs_baseline": round(vs, 2),
+        "extra": extra,
     }))
 
 

@@ -10,6 +10,7 @@
 
 int main(int argc, char** argv) {
   int nrep = argc > 1 ? std::atoi(argv[1]) : 40;
+  int reps = argc > 3 ? std::atoi(argv[3]) : 3;
   std::string model = argc > 2 ? argv[2] : "/root/reference/tests/input_files/UNEP-v1.txt";
   double a = 3.615;
   int n = 4 * nrep * nrep * nrep;
@@ -36,7 +37,7 @@ int main(int argc, char** argv) {
   std::vector<double> pot(n), force(3 * n), virial(9 * n);
   calc.compute(type, box, pos, pot, force, virial);  // warm
   double best = 1e30;
-  for (int r = 0; r < 3; r++) {
+  for (int r = 0; r < reps; r++) {
     auto t0 = std::chrono::steady_clock::now();
     calc.compute(type, box, pos, pot, force, virial);
     double dt = std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
