@@ -106,26 +106,30 @@ def _hash_jitter(tile, s, seed, pix_iota):
     return jx, jy
 
 
-# attribute-row indices in the (16, S*P) ray-state scratch
+# attribute-row indices in the (16, S*P) ray-state scratch.  Rows are
+# time-multiplexed: during the trace phase rows 0-7 hold ray
+# direction/origin state; shading prep retires them into the surface
+# attributes (normal/hit point) the per-light shadow loop consumes.
 _DX, _DY, _DZ, _TCAP, _BT = 0, 1, 2, 3, 4
-_INTEN, _LIT, _U, _V, _TAU = 5, 6, 7, 8, 9
-_GX, _GY, _CR, _CG, _CB, _MISS = 10, 11, 12, 13, 14, 15
-# ortho rays stash their per-ray origins in the (otherwise shadow-only)
-# u/v/tau rows until shading overwrites them
-_OX, _OY, _OZ = _U, _V, _TAU
+_OX, _OY, _OZ = 5, 6, 7           # ortho per-ray origins (trace phase)
+_NX, _NY, _NZ = 0, 1, 2           # surface normal (after shade prep)
+_HX, _HY, _HZ = 5, 6, 7           # hit point (after shade prep)
+_CR, _CG, _CB = 8, 9, 10
+_MISS, _SH = 11, 12               # miss flag, accumulated diffuse sum
 
 
 def _mega_kernel(
     params_ref,   # (64,) f32 SMEM — packed per-frame scalars
+    lparams_ref,  # (L*16,) f32 SMEM — per-light scalars (dir, basis, weight)
     seed_ref,     # (1,) i32 SMEM
     zmin_ref,     # (nb*ZC,) f32 SMEM — chunk min depths, capped at ZC
-    loffs_ref,    # (ncells,) i32 SMEM — light CSR starts
-    lcnt_ref,     # (ncells,) i32 SMEM — light CSR counts
+    loffs_ref,    # (L*ncells,) i32 SMEM — light CSR starts, per light
+    lcnt_ref,     # (L*ncells,) i32 SMEM — light CSR counts, per light
     ocnt_ref,     # (nb,) i32 SMEM — per-tile cyl/ring candidate counts
     chunks_hbm,   # (nb, nchunks, 8, CH) ANY — candidate records
-    ldata_hbm,    # (8, CAP) ANY — light CSR records [cu, cv, ck, r, key, ...]
+    ldata_hbm,    # (L, 8, CAP) ANY — light CSR records [cu, cv, ck, r, key…]
     other_hbm,    # (nb, 16, KO) ANY — per-tile cyl/ring records
-    occ_ref,      # (16, KG) VMEM — global cyl/ring occluder records
+    occ_ref,      # (L, 16, KG) VMEM — global cyl/ring occluders, per light
     out_ref,      # (G, 768) VMEM out — [R|G|B] x 256 pixels per tile
     rowbuf,       # (NBUF, nchunks, 8, CH) VMEM scratch — tile-row pipeline
     obuf,         # (2, 16, KO) VMEM scratch — cyl/ring row double buffer
@@ -151,6 +155,8 @@ def _mega_kernel(
     other: bool,
     n_occ: int,
     ZC: int,
+    L: int,
+    ncells_l: int,
     debug_phases: int = 5,
 ):
     G = TILE_GROUP
@@ -192,12 +198,8 @@ def _mega_kernel(
     iprx, ipry, iprz = params_ref[6], params_ref[7], params_ref[8]
     ipux, ipuy, ipuz = params_ref[9], params_ref[10], params_ref[11]
     vwx, vwy, vwz = params_ref[12], params_ref[13], params_ref[14]
-    lx, ly, lz = params_ref[15], params_ref[16], params_ref[17]
-    e1x, e1y, e1z = params_ref[18], params_ref[19], params_ref[20]
-    e2x, e2y, e2z = params_ref[21], params_ref[22], params_ref[23]
-    lorgu, lorgv = params_ref[24], params_ref[25]
-    inv_cell = params_ref[26]
-    lightcol = params_ref[27]
+    # per-light scalars (direction, shadow-grid basis, weight) live in
+    # lparams_ref rows; read lazily inside the light loop
     bgr, bgg, bgb = params_ref[28], params_ref[29], params_ref[30]
     lox, loy, loz_ = params_ref[31], params_ref[32], params_ref[33]
     hix, hiy, hiz = params_ref[34], params_ref[35], params_ref[36]
@@ -456,7 +458,7 @@ def _mega_kernel(
                     recs[:, :] = jnp.where(better, rec_sel, recs[:, :])
                     state[pl.ds(_BT, 1), :] = jnp.where(better, tmin, bt)
 
-            # ---- shading prep + light-space coords per sample --------------
+            # ---- shading prep: surface attributes per sample ---------------
             def shade_prep(s, _):
                 dx = srow(_DX, s)
                 dy = srow(_DY, s)
@@ -501,263 +503,278 @@ def _mega_kernel(
                 facing = nx * dx + ny * dy + nz2 * dz
                 flip = jnp.where(facing > 0.0, -1.0, 1.0)
                 nx, ny, nz2 = nx * flip, ny * flip, nz2 * flip
-                inten = nx * lx + ny * ly + nz2 * lz
-                lit = jnp.where(
-                    (inten > MINCONTRIB) & jnp.logical_not(missed), f32(1.0), f32(0.0)
-                )
-                set_srow(_INTEN, s, inten)
-                set_srow(_LIT, s, lit)
                 set_srow(_CR, s, recs[pl.ds(4, 1), sl])
                 set_srow(_CG, s, recs[pl.ds(5, 1), sl])
                 set_srow(_CB, s, recs[pl.ds(6, 1), sl])
                 set_srow(_MISS, s, jnp.where(missed, f32(1.0), f32(0.0)))
-                if shadows:
-                    u = hx * e1x + hy * e1y + hz * e1z - lorgu
-                    v = hx * e2x + hy * e2y + hz * e2z - lorgv
-                    tau = hx * lx + hy * ly + hz * lz
-                    gx = jnp.clip(
-                        jnp.floor(u * inv_cell), 0, grid_n - 1
-                    )
-                    gy = jnp.clip(
-                        jnp.floor(v * inv_cell), 0, grid_n - 1
-                    )
-                    set_srow(_U, s, u)
-                    set_srow(_V, s, v)
-                    set_srow(_TAU, s, tau)
-                    set_srow(_GX, s, gx)
-                    set_srow(_GY, s, gy)
-                    if other and n_occ > 0:
-                        # the dense occluder pass needs 3D hit points; the
-                        # direction rows are dead from here on, so reuse them
-                        set_srow(_DX, s, hx)
-                        set_srow(_DY, s, hy)
-                        set_srow(_DZ, s, hz)
+                # rows 0-7 (dirs / ortho origins) retire into normal + hit
+                # point — every read above already happened
+                set_srow(_NX, s, nx)
+                set_srow(_NY, s, ny)
+                set_srow(_NZ, s, nz2)
+                set_srow(_HX, s, hx)
+                set_srow(_HY, s, hy)
+                set_srow(_HZ, s, hz)
                 return 0
 
             if debug_phases >= 4:
                 jax.lax.fori_loop(0, S, shade_prep, 0)
+                state[pl.ds(_SH, 1), :] = jnp.zeros((1, SP), f32)
 
-            # ---- shadow pass: light cells in the tile's rect ---------------
-            # full-width rows over all samples at once
-            if shadows and debug_phases >= 5:
-                blocked[:, :] = jnp.zeros((1, SP), f32)
-                lit_all = state[pl.ds(_LIT, 1), :]       # (1, SP)
-                gx_all = state[pl.ds(_GX, 1), :]
-                gy_all = state[pl.ds(_GY, 1), :]
-                tau_all = state[pl.ds(_TAU, 1), :]
-                tau_eps = tau_all + eps
-                u_all = state[pl.ds(_U, 1), :]
-                v_all = state[pl.ds(_V, 1), :]
-                litb = lit_all > 0.0
-                mngx = jnp.min(jnp.where(litb, gx_all, f32(grid_n)))
-                mxgx = jnp.max(jnp.where(litb, gx_all, -1.0))
-                mngy = jnp.min(jnp.where(litb, gy_all, f32(grid_n)))
-                mxgy = jnp.max(jnp.where(litb, gy_all, -1.0))
-                cx0 = mngx.astype(jnp.int32)
-                cy0 = mngy.astype(jnp.int32)
-                nxc = jnp.maximum(mxgx.astype(jnp.int32) - cx0 + 1, 0)
-                nyc = jnp.maximum(mxgy.astype(jnp.int32) - cy0 + 1, 0)
-                ncell = jnp.where(mxgx >= 0.0, nxc * nyc, 0)
+            # ---- per-light loop: diffuse + shadow filter, accumulated ------
+            # Each light l reads its scalars from lparams and its CSR slice;
+            # AO sky directions are just additional lights with ambient 0 —
+            # the expensive closest-hit traversal above runs ONCE for all of
+            # them (vs one full megakernel launch per direction before).
+            for _l in range(L if debug_phases >= 4 else 0):
+                lb16 = _l * 16
+                lx = lparams_ref[lb16 + 0]
+                ly = lparams_ref[lb16 + 1]
+                lz = lparams_ref[lb16 + 2]
+                e1x = lparams_ref[lb16 + 3]
+                e1y = lparams_ref[lb16 + 4]
+                e1z = lparams_ref[lb16 + 5]
+                e2x = lparams_ref[lb16 + 6]
+                e2y = lparams_ref[lb16 + 7]
+                e2z = lparams_ref[lb16 + 8]
+                lorgu = lparams_ref[lb16 + 9]
+                lorgv = lparams_ref[lb16 + 10]
+                inv_cell = lparams_ref[lb16 + 11]
+                lightcol = lparams_ref[lb16 + 12]
 
-                def sdma(slot2, off2):
-                    return pltpu.make_async_copy(
-                        ldata_hbm.at[:, pl.ds(pl.multiple_of(off2, SHW), SHW)],
-                        sbuf.at[slot2],
-                        ssem.at[slot2],
+                nx_all = state[pl.ds(_NX, 1), :]
+                ny_all = state[pl.ds(_NY, 1), :]
+                nz_all = state[pl.ds(_NZ, 1), :]
+                hx_all = state[pl.ds(_HX, 1), :]
+                hy_all = state[pl.ds(_HY, 1), :]
+                hz_all = state[pl.ds(_HZ, 1), :]
+                miss_all = state[pl.ds(_MISS, 1), :]
+                inten = nx_all * lx + ny_all * ly + nz_all * lz
+                litb = (inten > MINCONTRIB) & (miss_all < 0.5)
+                lit_all = jnp.where(litb, f32(1.0), f32(0.0))
+                if shadows and debug_phases >= 5:
+                    u_all = (
+                        hx_all * e1x + hy_all * e1y + hz_all * e1z - lorgu
                     )
-
-                def cell_body(ci, _):
-                    dxc = jax.lax.rem(ci, jnp.maximum(nxc, 1))
-                    dyc = ci // jnp.maximum(nxc, 1)
-                    cgx = (cx0 + dxc).astype(f32)
-                    cgy = (cy0 + dyc).astype(f32)
-                    cell = jnp.clip(
-                        (cy0 + dyc) * grid_n + (cx0 + dxc), 0, grid_n * grid_n - 1
+                    v_all = (
+                        hx_all * e2x + hy_all * e2y + hz_all * e2z - lorgv
                     )
-                    off0 = loffs_ref[cell]
-                    cnt = lcnt_ref[cell]
-                    nw = (cnt + (SHW - 1)) // SHW
-                    incell = (gx_all == cgx) & (gy_all == cgy) & litb
+                    tau_all = hx_all * lx + hy_all * ly + hz_all * lz
+                    tau_eps = tau_all + eps
+                    gx_all = jnp.clip(jnp.floor(u_all * inv_cell), 0, grid_n - 1)
+                    gy_all = jnp.clip(jnp.floor(v_all * inv_cell), 0, grid_n - 1)
+                    blocked[:, :] = jnp.zeros((1, SP), f32)
+                    mngx = jnp.min(jnp.where(litb, gx_all, f32(grid_n)))
+                    mxgx = jnp.max(jnp.where(litb, gx_all, -1.0))
+                    mngy = jnp.min(jnp.where(litb, gy_all, f32(grid_n)))
+                    mxgy = jnp.max(jnp.where(litb, gy_all, -1.0))
+                    cx0 = mngx.astype(jnp.int32)
+                    cy0 = mngy.astype(jnp.int32)
+                    nxc = jnp.maximum(mxgx.astype(jnp.int32) - cx0 + 1, 0)
+                    nyc = jnp.maximum(mxgy.astype(jnp.int32) - cy0 + 1, 0)
+                    ncell = jnp.where(mxgx >= 0.0, nxc * nyc, 0)
 
-                    # scan floor: shallowest unblocked selected ray; refreshed
-                    # after each window so newly-blocked rays stop holding it
-                    def floor_now():
-                        selm = incell & (blocked[:, :] < 0.5)
-                        return jnp.min(jnp.where(selm, tau_all, BIG))
+                    def sdma(slot2, off2):
+                        return pltpu.make_async_copy(
+                            ldata_hbm.at[_l, :, pl.ds(pl.multiple_of(off2, SHW), SHW)],
+                            sbuf.at[slot2],
+                            ssem.at[slot2],
+                        )
 
-                    mintau0 = floor_now()
+                    def cell_body(ci, _):
+                        dxc = jax.lax.rem(ci, jnp.maximum(nxc, 1))
+                        dyc = ci // jnp.maximum(nxc, 1)
+                        cgx = (cx0 + dxc).astype(f32)
+                        cgy = (cy0 + dyc).astype(f32)
+                        cell = jnp.clip(
+                            (cy0 + dyc) * grid_n + (cx0 + dxc), 0, grid_n * grid_n - 1
+                        )
+                        off0 = loffs_ref[_l * ncells_l + cell]
+                        cnt = lcnt_ref[_l * ncells_l + cell]
+                        nw = (cnt + (SHW - 1)) // SHW
+                        incell = (gx_all == cgx) & (gy_all == cgy) & litb
 
-                    def wcond(wc):
-                        w, kmax, mintau = wc
-                        return (w < nw) & (kmax > mintau + eps)
+                        # scan floor: shallowest unblocked selected ray; refreshed
+                        # after each window so newly-blocked rays stop holding it
+                        def floor_now():
+                            selm = incell & (blocked[:, :] < 0.5)
+                            return jnp.min(jnp.where(selm, tau_all, BIG))
 
-                    def wbody(wc):
-                        w, kmax, mintau = wc
-                        slot2 = jax.lax.rem(w, jnp.int32(2))
-                        nxt2 = jax.lax.rem(w + jnp.int32(1), jnp.int32(2))
+                        mintau0 = floor_now()
 
-                        @pl.when(w + 1 < nw)
+                        def wcond(wc):
+                            w, kmax, mintau = wc
+                            return (w < nw) & (kmax > mintau + eps)
+
+                        def wbody(wc):
+                            w, kmax, mintau = wc
+                            slot2 = jax.lax.rem(w, jnp.int32(2))
+                            nxt2 = jax.lax.rem(w + jnp.int32(1), jnp.int32(2))
+
+                            @pl.when(w + 1 < nw)
+                            def _():
+                                sdma(nxt2, off0 + (w + 1) * SHW).start()
+
+                            sdma(slot2, off0 + w * SHW).wait()
+                            srec = sbuf[slot2]                 # (8, SHW)
+                            srecT = jnp.swapaxes(srec, 0, 1)   # (SHW, 8)
+                            cu = srecT[:, 0:1]
+                            cv = srecT[:, 1:2]
+                            ck = srecT[:, 2:3]
+                            sr = srecT[:, 3:4]
+                            srlive = sr > 0.0
+                            du = cu - u_all                    # (SHW, SP)
+                            dv = cv - v_all
+                            s2 = sr * sr - (du * du + dv * dv)
+                            # occludes iff sqrt(s2) > tau + eps - ck; square both
+                            # sides instead of paying a (SHW, SP) sqrt
+                            q = tau_eps - ck
+                            occ = (
+                                (s2 > 0.0) & srlive
+                                & ((q < 0.0) | (s2 > q * q))
+                            )
+                            occf = jnp.max(
+                                jnp.where(occ, f32(1.0), f32(0.0)), axis=0, keepdims=True
+                            )
+                            selg = jnp.where(incell, f32(1.0), f32(0.0))
+                            blocked[:, :] = jnp.maximum(blocked[:, :], selg * occf)
+                            nxt_kmax = srec[4, SHW - 1]
+                            return w + 1, nxt_kmax, floor_now()
+
+                        @pl.when((cnt > 0) & (mintau0 < BIG_DEPTH))
                         def _():
-                            sdma(nxt2, off0 + (w + 1) * SHW).start()
+                            sdma(0, off0).start()
+                            wf, _, _ = jax.lax.while_loop(
+                                wcond, wbody, (jnp.int32(0), f32(BIG), mintau0)
+                            )
 
-                        sdma(slot2, off0 + w * SHW).wait()
-                        srec = sbuf[slot2]                 # (8, SHW)
-                        srecT = jnp.swapaxes(srec, 0, 1)   # (SHW, 8)
-                        cu = srecT[:, 0:1]
-                        cv = srecT[:, 1:2]
-                        ck = srecT[:, 2:3]
-                        sr = srecT[:, 3:4]
-                        srlive = sr > 0.0
-                        du = cu - u_all                    # (SHW, SP)
-                        dv = cv - v_all
-                        s2 = sr * sr - (du * du + dv * dv)
-                        # occludes iff sqrt(s2) > tau + eps - ck; square both
-                        # sides instead of paying a (SHW, SP) sqrt
-                        q = tau_eps - ck
-                        occ = (
-                            (s2 > 0.0) & srlive
-                            & ((q < 0.0) | (s2 > q * q))
-                        )
-                        occf = jnp.max(
-                            jnp.where(occ, f32(1.0), f32(0.0)), axis=0, keepdims=True
-                        )
-                        selg = jnp.where(incell, f32(1.0), f32(0.0))
-                        blocked[:, :] = jnp.maximum(blocked[:, :], selg * occf)
-                        nxt_kmax = srec[4, SHW - 1]
-                        return w + 1, nxt_kmax, floor_now()
+                            # drain the in-flight DMA the loop left unconsumed
+                            @pl.when(wf < nw)
+                            def _():
+                                sdma(jax.lax.rem(wf, jnp.int32(2)),
+                                     off0 + wf * SHW).wait()
 
-                    @pl.when((cnt > 0) & (mintau0 < BIG_DEPTH))
-                    def _():
-                        sdma(0, off0).start()
-                        wf, _, _ = jax.lax.while_loop(
-                            wcond, wbody, (jnp.int32(0), f32(BIG), mintau0)
-                        )
+                        return 0
 
-                        # drain the in-flight DMA the loop left unconsumed
-                        @pl.when(wf < nw)
-                        def _():
-                            sdma(jax.lax.rem(wf, jnp.int32(2)),
-                                 off0 + wf * SHW).wait()
+                    jax.lax.fori_loop(0, ncell, cell_body, 0)
 
-                    return 0
+                    # ---- dense cyl/ring occluders (global list, tile-culled) ----
+                    if other and n_occ > 0:
+                        occT = jnp.swapaxes(occ_ref[_l], 0, 1)   # (KG, 16)
+                        umin_t = jnp.min(jnp.where(litb, u_all, BIG))
+                        umax_t = jnp.max(jnp.where(litb, u_all, -BIG))
+                        vmin_t = jnp.min(jnp.where(litb, v_all, BIG))
+                        vmax_t = jnp.max(jnp.where(litb, v_all, -BIG))
+                        taumin_t = jnp.min(jnp.where(litb, tau_all, BIG))
+                        # segment-vs-rect cull in light space: distance from the
+                        # tile's uv-rect centre to the occluder's 2D segment
+                        gu0 = occT[:, 4:5]
+                        gv0 = occT[:, 5:6]
+                        gu1 = occT[:, 13:14]
+                        gv1 = occT[:, 14:15]
+                        grb = occT[:, 6:7]
+                        gkey = occT[:, 7:8]
+                        galive = occT[:, 3:4] > 0.0
+                        ucx = 0.5 * (umin_t + umax_t)
+                        vcx = 0.5 * (vmin_t + vmax_t)
+                        bx = gu1 - gu0
+                        by = gv1 - gv0
+                        wx = ucx - gu0
+                        wy = vcx - gv0
+                        tseg = jnp.clip(
+                            (wx * bx + wy * by)
+                            / jnp.maximum(bx * bx + by * by, 1e-12),
+                            0.0, 1.0,
+                        )
+                        dxs = wx - tseg * bx
+                        dys = wy - tseg * by
+                        halfdiag = 0.5 * jnp.sqrt(
+                            (umax_t - umin_t) ** 2 + (vmax_t - vmin_t) ** 2
+                        )
+                        lim = grb + halfdiag + eps
+                        hit_tile = (
+                            galive
+                            & (dxs * dxs + dys * dys <= lim * lim)
+                            & (gkey > taumin_t + eps)
+                        )
+                        any_occ = jnp.max(jnp.where(hit_tile, 1.0, 0.0))
 
-                jax.lax.fori_loop(0, ncell, cell_body, 0)
+                        @pl.when((any_occ > 0.0) & (mxgx >= 0.0))
+                        def dense_occluders():
+                            px = occT[:, 0:1]
+                            py = occT[:, 1:2]
+                            pz = occT[:, 2:3]
+                            rad = occT[:, 3:4]
+                            axx = occT[:, 8:9]
+                            axy = occT[:, 9:10]
+                            axz = occT[:, 10:11]
+                            typ = occT[:, 11:12]
+                            alen = occT[:, 12:13]
+                            hx = hx_all
+                            hy = hy_all
+                            hz = hz_all
+                            ocx = hx - px                      # (KG, SP)
+                            ocy = hy - py
+                            ocz = hz - pz
+                            oca = ocx * axx + ocy * axy + ocz * axz
+                            dda = axx * lx + axy * ly + axz * lz  # (KG, 1)
+                            # stable perpendicular-vector form (see tracer._cyl_t)
+                            dpx = lx - dda * axx                  # (KG, 1)
+                            dpy = ly - dda * axy
+                            dpz = lz - dda * axz
+                            opx = ocx - oca * axx                 # (KG, SP)
+                            opy = ocy - oca * axy
+                            opz = ocz - oca * axz
+                            a2 = dpx * dpx + dpy * dpy + dpz * dpz
+                            bq = opx * dpx + opy * dpy + opz * dpz
+                            cq = opx * opx + opy * opy + opz * opz - rad * rad
+                            disc = bq * bq - a2 * cq
+                            live_c = (
+                                hit_tile & (typ == 1.0) & (disc >= 0.0) & (a2 > 1e-12)
+                            )
+                            inv_a2 = 1.0 / jnp.where(a2 > 1e-12, a2, 1.0)
+                            sq = jnp.sqrt(jnp.where(live_c, disc, 0.0))
+                            t1 = (-bq - sq) * inv_a2
+                            t2 = (-bq + sq) * inv_a2
+                            s1 = oca + t1 * dda
+                            s2 = oca + t2 * dda
+                            occ_c = live_c & (
+                                ((t1 > eps) & (s1 >= 0.0) & (s1 <= alen))
+                                | ((t2 > eps) & (s2 >= 0.0) & (s2 <= alen))
+                            )
+                            dn = dda
+                            tr0 = -oca / jnp.where(jnp.abs(dn) > 1e-12, dn, 1.0)
+                            rx = ocx + tr0 * lx
+                            ry = ocy + tr0 * ly
+                            rz = ocz + tr0 * lz
+                            rho2 = rx * rx + ry * ry + rz * rz
+                            occ_r = (
+                                hit_tile & (typ == 2.0) & (jnp.abs(dn) > 1e-12)
+                                & (tr0 > eps) & (rho2 <= rad * rad)
+                            )
+                            occf = jnp.max(
+                                jnp.where(occ_c | occ_r, f32(1.0), f32(0.0)),
+                                axis=0, keepdims=True,
+                            )
+                            blocked[:, :] = jnp.maximum(
+                                blocked[:, :], lit_all * occf
+                            )
 
-                # ---- dense cyl/ring occluders (global list, tile-culled) ----
-                if other and n_occ > 0:
-                    occT = jnp.swapaxes(occ_ref[:, :], 0, 1)   # (KG, 16)
-                    umin_t = jnp.min(jnp.where(litb, u_all, BIG))
-                    umax_t = jnp.max(jnp.where(litb, u_all, -BIG))
-                    vmin_t = jnp.min(jnp.where(litb, v_all, BIG))
-                    vmax_t = jnp.max(jnp.where(litb, v_all, -BIG))
-                    taumin_t = jnp.min(jnp.where(litb, tau_all, BIG))
-                    # segment-vs-rect cull in light space: distance from the
-                    # tile's uv-rect centre to the occluder's 2D segment
-                    gu0 = occT[:, 4:5]
-                    gv0 = occT[:, 5:6]
-                    gu1 = occT[:, 13:14]
-                    gv1 = occT[:, 14:15]
-                    grb = occT[:, 6:7]
-                    gkey = occT[:, 7:8]
-                    galive = occT[:, 3:4] > 0.0
-                    ucx = 0.5 * (umin_t + umax_t)
-                    vcx = 0.5 * (vmin_t + vmax_t)
-                    bx = gu1 - gu0
-                    by = gv1 - gv0
-                    wx = ucx - gu0
-                    wy = vcx - gv0
-                    tseg = jnp.clip(
-                        (wx * bx + wy * by)
-                        / jnp.maximum(bx * bx + by * by, 1e-12),
-                        0.0, 1.0,
-                    )
-                    dxs = wx - tseg * bx
-                    dys = wy - tseg * by
-                    halfdiag = 0.5 * jnp.sqrt(
-                        (umax_t - umin_t) ** 2 + (vmax_t - vmin_t) ** 2
-                    )
-                    lim = grb + halfdiag + eps
-                    hit_tile = (
-                        galive
-                        & (dxs * dxs + dys * dys <= lim * lim)
-                        & (gkey > taumin_t + eps)
-                    )
-                    any_occ = jnp.max(jnp.where(hit_tile, 1.0, 0.0))
-
-                    @pl.when((any_occ > 0.0) & (mxgx >= 0.0))
-                    def dense_occluders():
-                        px = occT[:, 0:1]
-                        py = occT[:, 1:2]
-                        pz = occT[:, 2:3]
-                        rad = occT[:, 3:4]
-                        axx = occT[:, 8:9]
-                        axy = occT[:, 9:10]
-                        axz = occT[:, 10:11]
-                        typ = occT[:, 11:12]
-                        alen = occT[:, 12:13]
-                        hx = state[pl.ds(_DX, 1), :]       # hit points (1, SP)
-                        hy = state[pl.ds(_DY, 1), :]
-                        hz = state[pl.ds(_DZ, 1), :]
-                        ocx = hx - px                      # (KG, SP)
-                        ocy = hy - py
-                        ocz = hz - pz
-                        oca = ocx * axx + ocy * axy + ocz * axz
-                        dda = axx * lx + axy * ly + axz * lz  # (KG, 1)
-                        # stable perpendicular-vector form (see tracer._cyl_t)
-                        dpx = lx - dda * axx                  # (KG, 1)
-                        dpy = ly - dda * axy
-                        dpz = lz - dda * axz
-                        opx = ocx - oca * axx                 # (KG, SP)
-                        opy = ocy - oca * axy
-                        opz = ocz - oca * axz
-                        a2 = dpx * dpx + dpy * dpy + dpz * dpz
-                        bq = opx * dpx + opy * dpy + opz * dpz
-                        cq = opx * opx + opy * opy + opz * opz - rad * rad
-                        disc = bq * bq - a2 * cq
-                        live_c = (
-                            hit_tile & (typ == 1.0) & (disc >= 0.0) & (a2 > 1e-12)
-                        )
-                        inv_a2 = 1.0 / jnp.where(a2 > 1e-12, a2, 1.0)
-                        sq = jnp.sqrt(jnp.where(live_c, disc, 0.0))
-                        t1 = (-bq - sq) * inv_a2
-                        t2 = (-bq + sq) * inv_a2
-                        s1 = oca + t1 * dda
-                        s2 = oca + t2 * dda
-                        occ_c = live_c & (
-                            ((t1 > eps) & (s1 >= 0.0) & (s1 <= alen))
-                            | ((t2 > eps) & (s2 >= 0.0) & (s2 <= alen))
-                        )
-                        dn = dda
-                        tr0 = -oca / jnp.where(jnp.abs(dn) > 1e-12, dn, 1.0)
-                        rx = ocx + tr0 * lx
-                        ry = ocy + tr0 * ly
-                        rz = ocz + tr0 * lz
-                        rho2 = rx * rx + ry * ry + rz * rz
-                        occ_r = (
-                            hit_tile & (typ == 2.0) & (jnp.abs(dn) > 1e-12)
-                            & (tr0 > eps) & (rho2 <= rad * rad)
-                        )
-                        occf = jnp.max(
-                            jnp.where(occ_c | occ_r, f32(1.0), f32(0.0)),
-                            axis=0, keepdims=True,
-                        )
-                        blocked[:, :] = jnp.maximum(
-                            blocked[:, :], lit_all * occf
-                        )
+                # per-light diffuse accumulation (full width, all samples)
+                if shadows and debug_phases >= 5:
+                    filt = 1.0 - blocked[pl.ds(0, 1), :]
+                else:
+                    filt = f32(1.0)
+                state[pl.ds(_SH, 1), :] = (
+                    state[pl.ds(_SH, 1), :]
+                    + lit_all * inten * lightcol * filt
+                )
 
             # ---- final shade + AA mean --------------------------------------
             def accum(s, acc):
                 ar, ag, ab = acc
-                inten = srow(_INTEN, s)
-                lit = srow(_LIT, s)
                 missed = srow(_MISS, s) > 0.5
-                if shadows and debug_phases >= 5:
-                    filt = 1.0 - blocked[pl.ds(0, 1),
-                                         pl.ds(pl.multiple_of(s * P, P), P)]
-                else:
-                    filt = 1.0
-                diffuse = lit * inten * lightcol * filt
-                shade = 0.8 * diffuse + ambient
+                shade = 0.8 * srow(_SH, s) + ambient
                 cr = srow(_CR, s) * shade
                 cg = srow(_CG, s) * shade
                 cb = srow(_CB, s) * shade
@@ -810,8 +827,16 @@ def render_image_mega(
     other_count=None,    # (nb,) i32
     occ_recs=None,       # (16, KG) global cyl/ring occluders
     n_occ: int = 0,
+    extra_lights=None,   # list of (lparams_row(16,), ldata, loffs, lcnt, occ)
 ):
     """Full-frame fused render.
+
+    ``extra_lights`` adds more directional lights that share the single
+    closest-hit traversal — the fast-AO decomposition runs its K sky
+    directions this way instead of one full launch each (VERDICT item 4:
+    share the traversal across AO directions).  Each entry carries the
+    light's packed scalars (see ``pack_light_row``), its CSR shadow records,
+    and (cyl/ring scenes) its light-space occluder table.
 
     Returns (height, width, 3) float RGB, or uint8 when ``quantized`` (the
     on-device serving path — keeps the host transfer at 3 bytes/pixel)."""
@@ -826,8 +851,6 @@ def render_image_mega(
     if ZC < nchunks:
         zmin = zmin[:, :ZC]
     params = jnp.asarray(params, jnp.float32)
-    if ldata is not None:
-        ldata = jnp.asarray(ldata, jnp.float32)
     if other_data is not None:
         other_data = jnp.asarray(other_data, jnp.float32)
         occ_recs = jnp.asarray(occ_recs, jnp.float32)
@@ -844,15 +867,53 @@ def render_image_mega(
         occ_recs = jnp.zeros((16, 8), jnp.float32)
         n_occ = 0
     KO = other_data.shape[2]
+
+    # ---- stack lights: primary (from params) + extras -------------------
+    row0 = jnp.concatenate([
+        params[15:18], params[18:24], params[24:27], params[27:28],
+        jnp.zeros(3, jnp.float32),
+    ])
+    lrows = [row0]
+    ldatas = [jnp.asarray(ldata, jnp.float32)]
+    loffss = [jnp.asarray(loffs, jnp.int32)]
+    lcnts = [jnp.asarray(lcnt, jnp.int32)]
+    occs = [occ_recs.astype(jnp.float32)]
+    for (lrow, ld_k, lo_k, lc_k, occ_k) in (extra_lights or ()):
+        lrows.append(jnp.asarray(lrow, jnp.float32))
+        ldatas.append(jnp.asarray(ld_k, jnp.float32))
+        loffss.append(jnp.asarray(lo_k, jnp.int32))
+        lcnts.append(jnp.asarray(lc_k, jnp.int32))
+        occs.append(
+            occs[0] if occ_k is None else jnp.asarray(occ_k, jnp.float32)
+        )
+    L = len(lrows)
+    lparams = jnp.concatenate(lrows)
+    CAP = max(int(a.shape[1]) for a in ldatas)
+    CAP = -SHW * (-CAP // SHW) if CAP else SHW
+    ldata_s = jnp.stack(
+        [jnp.pad(a, ((0, 0), (0, CAP - a.shape[1]))) for a in ldatas]
+    )
+    ncells_l = max(int(a.shape[0]) for a in loffss)
+    loffs_s = jnp.concatenate(
+        [jnp.pad(a, (0, ncells_l - a.shape[0])) for a in loffss]
+    )
+    lcnt_s = jnp.concatenate(
+        [jnp.pad(a, (0, ncells_l - a.shape[0])) for a in lcnts]
+    )
+    KG = max(int(a.shape[1]) for a in occs)
+    occ_s = jnp.stack(
+        [jnp.pad(a, ((0, 0), (0, KG - a.shape[1]))) for a in occs]
+    )
+
     kernel = functools.partial(
         _mega_kernel,
         S=S, nchunks=nchunks, CH=CH, nb=nb, nbp=nbp, tiles_x=tiles_x,
         grid_n=grid_n, eps=eps, perspective=perspective, shadows=shadows,
         other=other, n_occ=(n_occ if shadows else 0), ZC=ZC,
-        debug_phases=debug_phases,
+        L=L, ncells_l=ncells_l, debug_phases=debug_phases,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(nbp // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -886,15 +947,16 @@ def render_image_mega(
         interpret=interpret,
     )(
         params,
+        lparams,
         jnp.asarray([seed], jnp.int32),
         zmin.reshape(-1).astype(jnp.float32),
-        loffs.astype(jnp.int32),
-        lcnt.astype(jnp.int32),
+        loffs_s,
+        lcnt_s,
         other_count.astype(jnp.int32),
         chunk_data,
-        ldata,
+        ldata_s,
         other_data,
-        occ_recs.astype(jnp.float32),
+        occ_s,
     )
     img = out[:nb].reshape(tiles_y, tiles_x, 3, TILE_PX, TILE_PX)
     img = img.transpose(0, 3, 1, 4, 2).reshape(

@@ -494,42 +494,47 @@ class TachyonRender:
                             self._ao_cache_key = cache_key
                             _t0 = _mark("ao_accel_build", _t0)
 
+                    # fast-AO sky directions fold into the SAME launch as
+                    # extra lights: one closest-hit traversal serves the
+                    # primary light and every AO pass (K+1 shadow sweeps)
+                    extra_lights = None
+                    shadows_flag = bool(cfg.shadows_enabled)
+                    lr0 = light_records
+                    if ao_passes is not None:
+                        extra_lights = []
+                        for lr_k, or_k, p_k in ao_passes:
+                            lrow = np.concatenate([
+                                p_k[15:18], p_k[18:24], p_k[24:27],
+                                p_k[27:28], np.zeros(3, np.float32),
+                            ])
+                            occ_k = or_k[2] if or_k is not None else None
+                            extra_lights.append(
+                                (lrow, lr_k[0], lr_k[1], lr_k[2], occ_k)
+                            )
+                        if not shadows_flag:
+                            # AO needs the shadow machinery on; give the
+                            # (unshadowed) primary light an empty CSR
+                            ncl = lb.grid * lb.grid
+                            lr0 = (
+                                np.zeros((8, 128), np.float32),
+                                np.zeros(ncl, np.int32),
+                                np.zeros(ncl, np.int32),
+                            )
+                        shadows_flag = True
                     img_f = render_image_mega(
                         chunk_data, bins.sph_zmin,
-                        light_records[0], light_records[1], light_records[2],
+                        lr0[0], lr0[1], lr0[2],
                         params, self._seed,
                         S=S, width=int(width), height=int(height),
                         tiles_x=bins.tiles_x, tiles_y=bins.tiles_y,
                         grid_n=lb.grid, eps=cfg.eps,
                         perspective=bool(frame["perspective"]),
-                        shadows=bool(cfg.shadows_enabled),
+                        shadows=shadows_flag,
                         interpret=(self._backend == "cpu"),
-                        quantized=device_output and not ao_fast,
+                        quantized=device_output,
+                        extra_lights=extra_lights,
                         **other_kw,
                     )
-                    if ao_passes is not None:
-                        for lr_k, or_k, p_k in ao_passes:
-                            ok_kw = {}
-                            if or_k is not None:
-                                ok_kw = dict(
-                                    other_data=or_k[0], other_count=or_k[1],
-                                    occ_recs=or_k[2], n_occ=or_k[3],
-                                )
-                            img_f = img_f + render_image_mega(
-                                chunk_data, bins.sph_zmin,
-                                lr_k[0], lr_k[1], lr_k[2],
-                                p_k, self._seed,
-                                S=S, width=int(width), height=int(height),
-                                tiles_x=bins.tiles_x, tiles_y=bins.tiles_y,
-                                grid_n=lb.grid, eps=cfg.eps,
-                                perspective=bool(frame["perspective"]),
-                                shadows=True,
-                                interpret=(self._backend == "cpu"),
-                                quantized=False,
-                                **ok_kw,
-                            )
-                        if device_output:
-                            img_f = _quantize_device(img_f)
                     if device_output:
                         _t0 = _mark("trace", _t0)
                         return img_f
