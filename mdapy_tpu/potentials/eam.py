@@ -253,10 +253,16 @@ def _eam_block(n: int, M: int) -> int:
     return max(128, min(b, 16384))
 
 
+def _spline_rows(pack, idx):
+    """Gather the 4 node values per evaluation point, one column at a time
+    (a (B, M, 4) row-gather output pads its minor dim 32x on TPU)."""
+    return tuple(pack[:, c][idx] for c in range(4))
+
+
 def _spline_from_rows(rows, dx, h):
-    """(f, df) of the LAMMPS cubic from a packed node row
-    [y_m, y_{m+1}, fp_m, fp_{m+1}] (same math as spline_eval)."""
-    ym, yp, fm, fpp = rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3]
+    """(f, df) of the LAMMPS cubic from packed node values
+    (y_m, y_{m+1}, fp_m, fp_{m+1}) (same math as spline_eval)."""
+    ym, yp, fm, fpp = rows
     a = ym
     b = fm / h
     c = (3.0 * (yp - ym) - 2.0 * fm - fpp) / (h * h)
@@ -286,7 +292,7 @@ def _eam_force_fast(
     ok = verlet >= 0
     j = jnp.maximum(verlet, 0)
     dtype = pos.dtype
-    packed = jnp.concatenate([pos, types.astype(dtype)[:, None]], axis=1)
+    px_all, py_all, pz_all = pos[:, 0], pos[:, 1], pos[:, 2]
 
     npad = -(-n // block) * block
     nblk = npad // block
@@ -302,17 +308,28 @@ def _eam_force_fast(
     verlet_b = pad_rows(verlet, -1)
 
     def pair_geom(args):
-        """Per-block displacement/type/node data (recomputed per pass)."""
+        """Per-block displacement/type/node data (recomputed per pass).
+
+        Per-component gathers: a packed (B, M, 4) row-gather output pads its
+        minor dim to 128 on TPU (32x HBM blowup)."""
         pos_blk, vb = args
         okb = vb >= 0
         jb = jnp.maximum(vb, 0)
-        rows = packed[jb]                              # one row gather
-        tjb = rows[..., 3].astype(jnp.int32)
-        disp = rows[..., :3] - pos_blk[:, None, :]
-        frac = disp @ inv
-        frac = frac - jnp.round(frac) * boundary
-        disp = frac @ matrix
-        d = jnp.sqrt(jnp.sum(disp * disp, axis=-1))
+        cx = px_all[jb] - pos_blk[:, 0, None]          # (B, M)
+        cy = py_all[jb] - pos_blk[:, 1, None]
+        cz = pz_all[jb] - pos_blk[:, 2, None]
+        tjb = types[jb]
+        fa = cx * inv[0, 0] + cy * inv[1, 0] + cz * inv[2, 0]
+        fb = cx * inv[0, 1] + cy * inv[1, 1] + cz * inv[2, 1]
+        fc = cx * inv[0, 2] + cy * inv[1, 2] + cz * inv[2, 2]
+        fa = fa - jnp.round(fa) * boundary[0]
+        fb = fb - jnp.round(fb) * boundary[1]
+        fc = fc - jnp.round(fc) * boundary[2]
+        ddx = fa * matrix[0, 0] + fb * matrix[1, 0] + fc * matrix[2, 0]
+        ddy = fa * matrix[0, 1] + fb * matrix[1, 1] + fc * matrix[2, 1]
+        ddz = fa * matrix[0, 2] + fb * matrix[1, 2] + fc * matrix[2, 2]
+        disp = jnp.stack([ddx, ddy, ddz], axis=-1)
+        d = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
         okb = okb & (d <= rc)
         d0 = jnp.where(okb, d, 0.0)
         m = jnp.clip(jnp.floor(d0 / dr).astype(jnp.int32), 0, nr - 2)
@@ -322,7 +339,7 @@ def _eam_force_fast(
     # ---- pass 1: density ------------------------------------------------
     def rho_block(args):
         _, d0, okb, tjb, m, dx = pair_geom(args)
-        rows = rho_pack[tjb * (nr - 1) + m]            # (B, M, 4)
+        rows = _spline_rows(rho_pack, tjb * (nr - 1) + m)
         rho_ij, _ = _spline_from_rows(rows, dx, dr)
         return jnp.sum(jnp.where(okb, rho_ij, 0.0), axis=1)
 
@@ -331,7 +348,7 @@ def _eam_force_fast(
     # embedding (per atom, tiny)
     mrho = jnp.clip(jnp.floor(rho_i / drho).astype(jnp.int32), 0, nrho - 2)
     dxr = jnp.clip(rho_i - mrho.astype(dtype) * drho, 0.0, drho)
-    Frows = F_pack[types * (nrho - 1) + mrho]
+    Frows = _spline_rows(F_pack, types * (nrho - 1) + mrho)
     F_i, dF_i = _spline_from_rows(Frows, dxr, drho)
     # LAMMPS linearly extrapolates F beyond the table (pair_eam.cpp:
     # "if (rho > rhomax) phi += fp * (rho - rhomax)")
@@ -343,9 +360,9 @@ def _eam_force_fast(
     def pair_block(args):
         pos_blk, vb, dFb, tib = args
         disp, d0, okb, tjb, m, dx = pair_geom((pos_blk, vb))
-        zrows = z2r_pack[(tib[:, None] * nt + tjb) * (nr - 1) + m]
+        zrows = _spline_rows(z2r_pack, (tib[:, None] * nt + tjb) * (nr - 1) + m)
         z2, dz2 = _spline_from_rows(zrows, dx, dr)
-        rrows = rho_pack[tjb * (nr - 1) + m]
+        rrows = _spline_rows(rho_pack, tjb * (nr - 1) + m)
         _, drho_j = _spline_from_rows(rrows, dx, dr)
         rsafe = jnp.where(okb, d0, 1.0)
         rinv = 1.0 / rsafe

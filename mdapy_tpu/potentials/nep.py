@@ -593,19 +593,32 @@ def _block_e(disp, ti, tj, ok, c_radial, c_angular, w0, b0, w1, b1,
 
 
 def _gather_disp(pos, types, verlet, matrix, inv, boundary):
-    """One packed row gather -> (disp (N,M,3) min-imaged safe-padded,
+    """Neighbor displacements via per-component gathers.
+
+    Gather outputs keep the (N, M) pair axis minor — a packed (N*M, 4) row
+    gather picks a T(8,128) layout that pads the 4-wide minor dim to 128
+    (32x HBM expansion, the round-2 256k OOM).  Four (N, M) scalar gathers
+    tile cleanly.  Returns (disp (N,M,3) min-imaged safe-padded,
     tj (N,M) int32, ok (N,M))."""
     ok = verlet >= 0
     j = jnp.maximum(verlet, 0)
-    packed = jnp.concatenate([pos, types.astype(pos.dtype)[:, None]], axis=1)
-    rows = packed[j]                                           # (N,M,4)
-    tj = rows[..., 3].astype(jnp.int32)
-    disp = rows[..., :3] - pos[:, None, :]
-    frac = disp @ inv
-    frac = frac - jnp.round(frac) * boundary
-    disp = frac @ matrix
-    safe = jnp.array([1.0, 0.0, 0.0], disp.dtype)
-    disp = jnp.where(ok[..., None], disp, safe)
+    cx = pos[:, 0][j] - pos[:, 0, None]                        # (N,M)
+    cy = pos[:, 1][j] - pos[:, 1, None]
+    cz = pos[:, 2][j] - pos[:, 2, None]
+    tj = types[j]
+    fa = cx * inv[0, 0] + cy * inv[1, 0] + cz * inv[2, 0]
+    fb = cx * inv[0, 1] + cy * inv[1, 1] + cz * inv[2, 1]
+    fc = cx * inv[0, 2] + cy * inv[1, 2] + cz * inv[2, 2]
+    fa = fa - jnp.round(fa) * boundary[0]
+    fb = fb - jnp.round(fb) * boundary[1]
+    fc = fc - jnp.round(fc) * boundary[2]
+    dx = fa * matrix[0, 0] + fb * matrix[1, 0] + fc * matrix[2, 0]
+    dy = fa * matrix[0, 1] + fb * matrix[1, 1] + fc * matrix[2, 1]
+    dz = fa * matrix[0, 2] + fb * matrix[1, 2] + fc * matrix[2, 2]
+    dx = jnp.where(ok, dx, 1.0)
+    dy = jnp.where(ok, dy, 0.0)
+    dz = jnp.where(ok, dz, 0.0)
+    disp = jnp.stack([dx, dy, dz], axis=-1)
     return disp, tj, ok
 
 

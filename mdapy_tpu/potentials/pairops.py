@@ -114,8 +114,10 @@ def pair_forces_virials(disp, J, verlet, rev, ok):
 
     jidx = jnp.maximum(verlet, 0)
     Jm = jnp.where(ok[..., None], J, 0.0)
-    # reverse-pair gradient rows: Jrev[i, m] = J[j, rev[i, m]]
-    Jrev = Jm[jidx, rev]
+    # reverse-pair gradient rows: Jrev[i, m] = J[j, rev[i, m]] — gathered
+    # per component so the (N, M) output tiles cleanly (a (N,M,3) gather
+    # output pads its 3-wide minor dim to 128 on TPU)
+    Jrev = jnp.stack([Jm[..., c][jidx, rev] for c in range(3)], axis=-1)
     Jrev = jnp.where(ok[..., None], Jrev, 0.0)
     force = jnp.sum(Jm, axis=1) - jnp.sum(Jrev, axis=1)
     dispm = jnp.where(ok[..., None], disp, 0.0)
