@@ -77,7 +77,92 @@ class VoronoiAnalysis:
         cart = allfrac @ box.matrix + box.origin
         return cart, allids
 
-    def compute(self):
+    def _engine_run(self, max_nei: int = 64):
+        """Run the native clipping engine (native/voro_engine.cpp) with
+        automatic search-radius escalation (voro++'s growing block search,
+        reference voronoi.cpp:45-60 / v_compute_3d.cc).
+
+        Returns (volume, cavity, nface, nei_idx, nei_area, nei_dist) for the
+        original atoms; neighbor indices map back to original ids."""
+        import ctypes
+
+        from ..native import load_library
+        from ..neighbor.neighbor import neighbor_search, replicate_for_small_box
+
+        lib = load_library("voro_engine")
+        fn = lib.voro_compute
+        fn.restype = None
+
+        n = len(self.pos)
+        box = self.box
+        vol_per = abs(box.volume) / max(n, 1)
+        rc = 2.4 * vol_per ** (1.0 / 3.0)
+        diam = float(np.linalg.norm(box.matrix.sum(axis=0)))
+        walls = self._walls()
+        wall_rows = (
+            np.array([[w[0][0], w[0][1], w[0][2], w[1]] for w in walls])
+            if walls else np.zeros((0, 4))
+        )
+        for attempt in range(6):
+            # replicate first so candidate indices stay unique per image
+            pos_c, box_c, n_images = replicate_for_small_box(self.pos, box, rc)
+            verlet, dist, cnt = neighbor_search(pos_c, box_c, rc)
+            n_total = len(pos_c)
+            M = verlet.shape[1]
+            volume = np.zeros(n)
+            cavity = np.zeros(n)
+            nface = np.zeros(n, np.int32)
+            flags = np.zeros(n, np.int32)
+            nei_idx = np.full((n, max_nei), -1, np.int32)
+            nei_area = np.zeros((n, max_nei))
+            nei_dist = np.zeros((n, max_nei))
+            h0 = 1.05 * diam
+            pos64 = np.ascontiguousarray(pos_c, np.float64)
+            v32 = np.ascontiguousarray(verlet, np.int32)
+            fn(
+                pos64.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int64(n_total), ctypes.c_int64(n),
+                v32.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(M),
+                np.ascontiguousarray(box_c.matrix).ctypes.data_as(ctypes.c_void_p),
+                np.ascontiguousarray(box_c.inverse_box).ctypes.data_as(ctypes.c_void_p),
+                np.ascontiguousarray(box_c.boundary, np.int32).ctypes.data_as(ctypes.c_void_p),
+                np.ascontiguousarray(wall_rows).ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int64(len(wall_rows)), ctypes.c_double(h0),
+                volume.ctypes.data_as(ctypes.c_void_p),
+                cavity.ctypes.data_as(ctypes.c_void_p),
+                nface.ctypes.data_as(ctypes.c_void_p),
+                flags.ctypes.data_as(ctypes.c_void_p),
+                nei_idx.ctypes.data_as(ctypes.c_void_p),
+                nei_area.ctypes.data_as(ctypes.c_void_p),
+                nei_dist.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int64(max_nei),
+                ctypes.c_int32(0),
+            )
+            if not flags.any() or rc > diam:
+                break
+            rc *= 1.6
+        nei_idx = np.where(nei_idx >= 0, nei_idx % n, -1).astype(np.int32)
+        return volume, cavity, nface, nei_idx, nei_area, nei_dist
+
+    def compute(self, backend: str = "native"):
+        """Per-atom volume / face count / cavity radius.
+
+        ``backend='native'`` uses the OpenMP C++ clipping engine (fast path,
+        1M-atom capable); ``'qhull'`` keeps the scipy reference path."""
+        if backend == "native":
+            try:
+                out = self._engine_run()
+            except Exception as exc:  # pragma: no cover - toolchain missing
+                import warnings
+
+                warnings.warn(
+                    f"native voro engine unavailable ({exc!r}); "
+                    "falling back to the scipy path", RuntimeWarning,
+                )
+                return self.compute(backend="qhull")
+            self.volume, self.cavity_radius, self.neighbor_number = out[:3]
+            return self
+
         from scipy.spatial import ConvexHull
 
         cart, ids = self._ghosted()
@@ -91,11 +176,19 @@ class VoronoiAnalysis:
         walls = self._walls()
         for i in range(n):
             verts, faces, areas = self._cell_geometry(cart, i, partners[i], walls)
-            if verts is None:
-                continue
-            try:
-                hull = ConvexHull(verts)
-            except Exception:
+            hull = None
+            if verts is not None:
+                try:
+                    hull = ConvexHull(verts)
+                except Exception:
+                    hull = None
+            if hull is None:
+                import warnings
+
+                warnings.warn(
+                    f"Voronoi cell construction failed for atom {i}; "
+                    "its volume is reported as 0", RuntimeWarning,
+                )
                 continue
             volume[i] = hull.volume
             cavity[i] = np.max(np.linalg.norm(verts - cart[i], axis=1))
@@ -235,6 +328,39 @@ class VoronoiAnalysis:
         (voronoi.cpp:252-265).  Rows are compacted and distance-sorted; -1
         pads unfilled slots.
         """
+        try:
+            vol, cav, nf, nei_idx, nei_area, nei_dist = self._engine_run()
+        except Exception:  # pragma: no cover - toolchain missing
+            nei_idx = None
+        if nei_idx is not None:
+            n, Mn = nei_idx.shape
+            ok = nei_idx >= 0
+            area_min = np.full(n, max(a_face_area_threshold, 0.0))
+            if r_face_area_threshold > 0:
+                total = np.sum(np.where(ok, nei_area, 0.0), axis=1)
+                area_min = np.maximum(area_min, total * r_face_area_threshold)
+            keep = ok & (nei_area > area_min[:, None])
+            big = np.where(keep, nei_dist, np.inf)
+            order = np.argsort(big, axis=1, kind="stable")
+            verlet = np.take_along_axis(
+                np.where(keep, nei_idx, -1), order, axis=1
+            )
+            dist = np.take_along_axis(
+                np.where(keep, nei_dist, 0.0), order, axis=1
+            )
+            areas = np.take_along_axis(
+                np.where(keep, nei_area, 0.0), order, axis=1
+            )
+            nn = keep.sum(axis=1).astype(np.int32)
+            Mc = max(1, int(nn.max()) if n else 1)
+            self.verlet_list = verlet[:, :Mc]
+            self.distance_list = dist[:, :Mc]
+            self.face_areas = areas[:, :Mc]
+            self.neighbor_number = nn
+            self.volume = vol
+            self.cavity_radius = cav
+            return self
+
         from scipy.spatial import Voronoi
 
         cart, ids = self._ghosted()

@@ -1,0 +1,298 @@
+// Voronoi cell engine: per-atom radical-plane clipping, OpenMP-parallel.
+//
+// TPU-native replacement for the reference's voro++ wrapper
+// (reference: src/voronoi.cpp:45-60 put_parallel + voronoicell_neighbor,
+// extern/voro++/src/v_compute_3d.cc).  Fresh implementation — NOT a port:
+// cells are kept as face polygon loops and cut by successive bisector
+// half-planes (Sutherland–Hodgman per face + convex-polygon reconstruction
+// of the cut face), instead of voro++'s vertex/edge adjacency walker.
+//
+// The neighbor candidates come in pre-sorted by distance from the caller's
+// cell-list engine; the classic security-radius criterion stops clipping
+// once the next candidate is farther than twice the cell's max vertex
+// distance.  Atoms whose candidate list is exhausted before that bound are
+// flagged so the caller can escalate the search radius.
+//
+// Interface: plain C ABI for ctypes (no pybind11 in this build).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+struct V3 {
+  double x, y, z;
+};
+
+static inline V3 sub(V3 a, V3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+static inline V3 add(V3 a, V3 b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
+static inline V3 mul(V3 a, double s) { return {a.x * s, a.y * s, a.z * s}; }
+static inline double dot(V3 a, V3 b) {
+  return a.x * b.x + a.y * b.y + a.z * b.z;
+}
+static inline V3 cross(V3 a, V3 b) {
+  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+static inline double norm(V3 a) { return std::sqrt(dot(a, a)); }
+
+constexpr int MAX_FACES = 96;
+constexpr int MAX_FVERT = 64;
+
+struct Face {
+  int plane;  // candidate slot (>=0) or wall id (<0: -1..-6 walls, -7 seed box)
+  int nv;
+  V3 v[MAX_FVERT];
+};
+
+struct Cell {
+  int nf;
+  Face f[MAX_FACES];
+
+  // clip cell (coordinates relative to the seed atom) by n.x <= c.
+  // returns true if the plane cut anything.
+  bool clip(V3 n, double c, int plane_id, double eps) {
+    // classify + clip each face
+    V3 newpts[2 * MAX_FACES];
+    int nnew = 0;
+    bool cut = false;
+    int dst = 0;
+    for (int fi = 0; fi < nf; fi++) {
+      Face &fc = f[fi];
+      double d[MAX_FVERT];
+      bool any_in = false, any_out = false;
+      for (int k = 0; k < fc.nv; k++) {
+        d[k] = dot(n, fc.v[k]) - c;
+        if (d[k] <= eps) any_in = true;
+        if (d[k] > eps) any_out = true;
+      }
+      if (!any_out) {  // fully kept
+        if (dst != fi) f[dst] = fc;
+        dst++;
+        continue;
+      }
+      cut = true;
+      if (!any_in) continue;  // fully removed
+      // Sutherland–Hodgman
+      Face out;
+      out.plane = fc.plane;
+      out.nv = 0;
+      for (int k = 0; k < fc.nv; k++) {
+        int k2 = (k + 1) % fc.nv;
+        bool in1 = d[k] <= eps, in2 = d[k2] <= eps;
+        if (in1 && out.nv < MAX_FVERT) out.v[out.nv++] = fc.v[k];
+        if (in1 != in2) {
+          double t = d[k] / (d[k] - d[k2]);
+          V3 p = add(fc.v[k], mul(sub(fc.v[k2], fc.v[k]), t));
+          if (out.nv < MAX_FVERT) out.v[out.nv++] = p;
+          if (nnew < 2 * MAX_FACES) newpts[nnew++] = p;
+        }
+      }
+      if (out.nv >= 3) {
+        f[dst++] = out;
+      }
+    }
+    nf = dst;
+    if (!cut) return false;
+    if (nnew >= 3) {
+      // new face on the cutting plane: order intersection points by angle
+      // (the cell is convex, so they form a convex polygon)
+      V3 cen = {0, 0, 0};
+      for (int k = 0; k < nnew; k++) cen = add(cen, newpts[k]);
+      cen = mul(cen, 1.0 / nnew);
+      double nl = norm(n);
+      V3 nn = mul(n, 1.0 / nl);
+      // in-plane basis
+      V3 u = sub(newpts[0], cen);
+      u = sub(u, mul(nn, dot(u, nn)));
+      double ul = norm(u);
+      if (ul > 1e-14) {
+        u = mul(u, 1.0 / ul);
+        V3 w = cross(nn, u);
+        double ang[2 * MAX_FACES];
+        int order[2 * MAX_FACES];
+        for (int k = 0; k < nnew; k++) {
+          V3 r = sub(newpts[k], cen);
+          ang[k] = std::atan2(dot(r, w), dot(r, u));
+          order[k] = k;
+        }
+        for (int a = 1; a < nnew; a++) {  // insertion sort (tiny arrays)
+          int o = order[a];
+          double av = ang[o];
+          int b = a - 1;
+          while (b >= 0 && ang[order[b]] > av) {
+            order[b + 1] = order[b];
+            b--;
+          }
+          order[b + 1] = o;
+        }
+        if (nf < MAX_FACES) {
+          Face &nfc = f[nf++];
+          nfc.plane = plane_id;
+          nfc.nv = 0;
+          // drop duplicate points (coincident intersections at shared edges)
+          for (int k = 0; k < nnew && nfc.nv < MAX_FVERT; k++) {
+            V3 p = newpts[order[k]];
+            if (nfc.nv) {
+              V3 dlt = sub(p, nfc.v[nfc.nv - 1]);
+              if (dot(dlt, dlt) < eps * eps) continue;
+            }
+            nfc.v[nfc.nv++] = p;
+          }
+          if (nfc.nv >= 2) {
+            V3 dlt = sub(nfc.v[0], nfc.v[nfc.nv - 1]);
+            if (dot(dlt, dlt) < eps * eps) nfc.nv--;
+          }
+          if (nfc.nv < 3) nf--;
+        }
+      }
+    }
+    return true;
+  }
+
+  double max_r2(V3) const {
+    double m = 0;
+    for (int fi = 0; fi < nf; fi++)
+      for (int k = 0; k < f[fi].nv; k++) {
+        double r2 = dot(f[fi].v[k], f[fi].v[k]);
+        if (r2 > m) m = r2;
+      }
+    return m;
+  }
+};
+
+static void init_cube(Cell &c, double h) {
+  // axis-aligned cube [-h, h]^3 around the seed, face planes tagged -7
+  c.nf = 6;
+  const int idx[6][4] = {{0, 1, 3, 2}, {4, 6, 7, 5}, {0, 4, 5, 1},
+                         {2, 3, 7, 6}, {0, 2, 6, 4}, {1, 5, 7, 3}};
+  V3 corners[8];
+  for (int k = 0; k < 8; k++) {
+    corners[k] = {(k & 1) ? h : -h, (k & 2) ? h : -h, (k & 4) ? h : -h};
+  }
+  for (int fi = 0; fi < 6; fi++) {
+    c.f[fi].plane = -7;
+    c.f[fi].nv = 4;
+    for (int k = 0; k < 4; k++) c.f[fi].v[k] = corners[idx[fi][k]];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// pos: (n_total, 3) cartesian; verlet: (n_query, M) candidate indices into
+// pos sorted ascending by distance (-1 padded); matrix/inv row-major (3,3);
+// boundary: 3 ints; walls: (n_walls, 4) rows [nx, ny, nz, b] meaning
+// n.x + b <= 0 in absolute coordinates.
+// Outputs (n_query): volume, cavity, nface, flags (1 = escalate rc);
+// neighbor tables (n_query, max_nei): nei_idx (-1 pad), nei_area, nei_dist.
+void voro_compute(const double *pos, int64_t n_total, int64_t n_query,
+                  const int32_t *verlet, int64_t M, const double *matrix,
+                  const double *inv, const int32_t *boundary,
+                  const double *walls, int64_t n_walls, double h0,
+                  double *volume, double *cavity, int32_t *nface,
+                  int32_t *flags, int32_t *nei_idx, double *nei_area,
+                  double *nei_dist, int64_t max_nei, int32_t n_threads) {
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+  for (int64_t i = 0; i < n_query; i++) {
+    V3 xi = {pos[3 * i], pos[3 * i + 1], pos[3 * i + 2]};
+    Cell cell;
+    init_cube(cell, h0);
+    double eps = 1e-11 * h0;
+    // container walls (free boundaries), relative coordinates
+    for (int64_t w = 0; w < n_walls; w++) {
+      V3 nw = {walls[4 * w], walls[4 * w + 1], walls[4 * w + 2]};
+      double cw = -walls[4 * w + 3] - dot(nw, xi);
+      cell.clip(nw, cw, -(int)(w + 1), eps);
+    }
+    double rmax2 = cell.max_r2(xi);
+    int64_t k = 0;
+    bool closed = false;
+    for (; k < M; k++) {
+      int32_t j = verlet[i * M + k];
+      if (j < 0) break;
+      // min-image displacement
+      double dx = pos[3 * j] - xi.x;
+      double dy = pos[3 * j + 1] - xi.y;
+      double dz = pos[3 * j + 2] - xi.z;
+      double fa = dx * inv[0] + dy * inv[3] + dz * inv[6];
+      double fb = dx * inv[1] + dy * inv[4] + dz * inv[7];
+      double fc = dx * inv[2] + dy * inv[5] + dz * inv[8];
+      if (boundary[0]) fa -= std::nearbyint(fa);
+      if (boundary[1]) fb -= std::nearbyint(fb);
+      if (boundary[2]) fc -= std::nearbyint(fc);
+      V3 d = {fa * matrix[0] + fb * matrix[3] + fc * matrix[6],
+              fa * matrix[1] + fb * matrix[4] + fc * matrix[7],
+              fa * matrix[2] + fb * matrix[5] + fc * matrix[8]};
+      double d2 = dot(d, d);
+      if (d2 > 4.0 * rmax2) {
+        closed = true;
+        break;  // security radius: no farther candidate can cut the cell
+      }
+      if (cell.clip(d, 0.5 * d2, (int)k, eps)) rmax2 = cell.max_r2(xi);
+    }
+    // candidate list ran out before the security bound held: the caller
+    // must escalate the search radius (voro++ grows its block search the
+    // same way)
+    flags[i] = closed ? 0 : 1;
+    // ---- measurements -------------------------------------------------
+    double vol = 0.0;
+    int faces = 0;
+    int64_t nn = 0;
+    for (int fi = 0; fi < cell.nf; fi++) {
+      const Face &fc = cell.f[fi];
+      // polygon area + divergence-theorem volume contribution; the cut-face
+      // reconstruction gives arbitrary winding per face, but the seed is
+      // interior so the outward contribution is |cen . (2 A n)| / 6
+      V3 cen = {0, 0, 0};
+      for (int k2 = 0; k2 < fc.nv; k2++) cen = add(cen, fc.v[k2]);
+      cen = mul(cen, 1.0 / fc.nv);
+      V3 asum = {0, 0, 0};
+      for (int k2 = 0; k2 < fc.nv; k2++) {
+        V3 a = sub(fc.v[k2], cen);
+        V3 b = sub(fc.v[(k2 + 1) % fc.nv], cen);
+        asum = add(asum, cross(a, b));
+      }
+      double area = 0.5 * norm(asum);
+      vol += std::abs(dot(cen, asum)) / 6.0;
+      if (area < 1e-10) continue;
+      if (fc.plane == -7) flags[i] = 1;  // cell touched the seed cube
+      faces++;
+      if (fc.plane >= 0 && nn < max_nei) {
+        int32_t j = verlet[i * M + fc.plane];
+        nei_idx[i * max_nei + nn] = j;
+        nei_area[i * max_nei + nn] = area;
+        // distance to that neighbor (recompute)
+        double dx = pos[3 * j] - xi.x;
+        double dy = pos[3 * j + 1] - xi.y;
+        double dz = pos[3 * j + 2] - xi.z;
+        double fa = dx * inv[0] + dy * inv[3] + dz * inv[6];
+        double fb = dx * inv[1] + dy * inv[4] + dz * inv[7];
+        double fc2 = dx * inv[2] + dy * inv[5] + dz * inv[8];
+        if (boundary[0]) fa -= std::nearbyint(fa);
+        if (boundary[1]) fb -= std::nearbyint(fb);
+        if (boundary[2]) fc2 -= std::nearbyint(fc2);
+        V3 d = {fa * matrix[0] + fb * matrix[3] + fc2 * matrix[6],
+                fa * matrix[1] + fb * matrix[4] + fc2 * matrix[7],
+                fa * matrix[2] + fb * matrix[5] + fc2 * matrix[8]};
+        nei_dist[i * max_nei + nn] = norm(d);
+        nn++;
+      }
+    }
+    volume[i] = std::abs(vol);
+    cavity[i] = std::sqrt(cell.max_r2(xi));
+    nface[i] = faces;
+    for (int64_t z = nn; z < max_nei; z++) nei_idx[i * max_nei + z] = -1;
+  }
+}
+
+}  // extern "C"
