@@ -116,6 +116,77 @@ def bench_potentials():
     return out
 
 
+def bench_config3():
+    """BASELINE config 3: 1M-atom Voronoi polycrystal, AO + transparent
+    background, 1920x1080 — the north-star AO-heavy scene.  AO runs the
+    folded megakernel (all sky directions share one closest-hit traversal).
+    Rays counted: S primary + S direct-shadow + S*K AO-shadow per pixel."""
+    import time
+
+    import jax
+    import mdapy_tpu as mp
+
+    uc = mp.build_crystal("Cu", "fcc", 3.615)
+    poly = mp.CreatePolycrystal(uc, 230.0, 15, randomseed=1)
+    s = poly.compute()
+    pos = np.ascontiguousarray(s.pos)
+    n = len(pos)
+    colors = np.tile(
+        np.array([[0.78, 0.5, 0.2, 1.0]], np.float32), (n, 1)
+    )
+    radii = np.full(n, 1.28, np.float32)
+    cam = mp.preset_camera("perspective", pos, max_radius=1.28)
+    W, H = 1920, 1080
+    AA, K = 2, 12
+    ren = mp.TachyonRender(
+        backend="tpu", ao=True, ao_samples=K, aa_samples=AA,
+        background=(1.0, 1.0, 1.0),
+    )
+    img = ren.render(pos, colors, radii, camera=cam, width=W, height=H,
+                     transparent=True)
+    assert img.shape == (H, W, 4) and img[..., :3].std() > 1
+    out = ren.render(pos, colors, radii, camera=cam, width=W, height=H,
+                     device_output=True)
+    jax.block_until_ready(out)
+    nframes = 5
+    t0 = time.time()
+    outs = [
+        ren.render(pos, colors, radii, camera=cam, width=W, height=H,
+                   device_output=True)
+        for _ in range(nframes)
+    ]
+    jax.block_until_ready(outs)
+    dt = (time.time() - t0) / nframes
+    S = AA + 1
+    rays = W * H * S * (2 + K)
+    out = {
+        "config3_polycrystal_ao_ms_per_frame": round(dt * 1e3, 1),
+        "config3_grays_per_s": round(rays / dt / 1e9, 3),
+        "config3_atoms": n,
+    }
+    # reference rays/s on the same scene with AO through the compiled
+    # Tachyon engine (small raster; CPU rays/s is resolution-independent)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        gdir = os.path.join(here, "tools", "golden_tachyon")
+        sys.path.insert(0, gdir)
+        from golden import render_golden
+
+        w2, h2 = 256, 144
+        t0 = time.time()
+        render_golden(pos, colors, radii, cam, width=w2, height=h2,
+                      aa=True, aa_samples=AA, ao=True, ao_samples=K,
+                      shadows=True)
+        dt_ref = time.time() - t0
+        ref_rays = w2 * h2 * S * (2 + K)
+        out["config3_vs_tachyon_cpu"] = round(
+            (rays / dt) / (ref_rays / dt_ref), 1
+        )
+    except Exception:
+        pass
+    return out
+
+
 def main():
     import jax
 
@@ -165,11 +236,16 @@ def main():
     vs = (ours / ref) if ref else 0.0
 
     extra = {}
+    if os.environ.get("BENCH_SKIP_CONFIG3", "0") != "1":
+        try:
+            extra.update(bench_config3())
+        except Exception as exc:
+            extra["config3_error"] = repr(exc)[:200]
     if os.environ.get("BENCH_SKIP_POTENTIALS", "0") != "1":
         try:
-            extra = bench_potentials()
+            extra.update(bench_potentials())
         except Exception as exc:  # keep the primary metric robust
-            extra = {"potentials_error": repr(exc)[:200]}
+            extra["potentials_error"] = repr(exc)[:200]
 
     print(json.dumps({
         "metric": "render_rays_per_s_1M_atoms_1080p",
