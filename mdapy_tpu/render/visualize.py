@@ -126,6 +126,112 @@ class View:
             self.plot -= self.label
             self.label = None
 
+    # -- structure-type coloring (reference visualize.py:290-430) ---------
+    _STRUCTURE_SCHEMES = {
+        # column -> {value: (name, rgb hex)}
+        "cna": {0: ("Other", 0xFFFFFF), 1: ("FCC", 0x66CC66),
+                2: ("HCP", 0xCC6666), 3: ("BCC", 0x6666CC),
+                4: ("ICO", 0xCCCC66)},
+        "aja": {0: ("Other", 0xFFFFFF), 1: ("FCC", 0x66CC66),
+                2: ("HCP", 0xCC6666), 3: ("BCC", 0x6666CC),
+                4: ("ICO", 0xCCCC66)},
+        "ptm": {0: ("Other", 0xFFFFFF), 1: ("FCC", 0x66CC66),
+                2: ("HCP", 0xCC6666), 3: ("BCC", 0x6666CC),
+                4: ("ICO", 0xCCCC66), 5: ("SC", 0xA0A0A0),
+                6: ("CubicDiamond", 0x4CC9B0), 7: ("HexDiamond", 0xC98A4C),
+                8: ("Graphene", 0x808080)},
+        "ids": {0: ("Other", 0xFFFFFF), 1: ("CubicDia", 0x4CC9B0),
+                2: ("CubicDia1NN", 0x36907E), 3: ("CubicDia2NN", 0x255F54),
+                4: ("HexDia", 0xC98A4C), 5: ("HexDia1NN", 0x8F6236),
+                6: ("HexDia2NN", 0x5F4124)},
+    }
+
+    def colored_by_structure_type(self, method: str = "cna",
+                                  show_label: bool = True) -> None:
+        """Categorical coloring for structure-identification columns
+        (cna / ptm / aja / ids) with an on-plot legend."""
+        k3d = _require_k3d()
+        scheme = self._STRUCTURE_SCHEMES.get(method)
+        if scheme is None:
+            raise ValueError(
+                f"method must be one of {sorted(self._STRUCTURE_SCHEMES)}"
+            )
+        vals = np.asarray(self.system.data[method], dtype=int)
+        colors = np.full(len(vals), 0xFFFFFF, np.uint32)
+        counts = {}
+        for v, (name, col) in scheme.items():
+            m = vals == v
+            colors[m] = col
+            if m.any():
+                counts[name] = (int(m.sum()), col)
+        self.atoms.colors = colors
+        self._clear_label()
+        if show_label:
+            text = "\n".join(
+                f"{name}: {cnt}" for name, (cnt, _) in counts.items()
+            )
+            self.label = k3d.text2d(text, position=(0.01, 0.01),
+                                    color=0x000000, size=0.8)
+            self.plot += self.label
+
+    # -- bonds (reference visualize.py bond lines) ------------------------
+    def draw_bonds(self, rc=None, max_neigh: int = 20, width: float = 0.15,
+                   color: int = 0x707070) -> None:
+        """Draw bond lines.  Uses ``system.bond`` if present, else calls
+        ``system.create_bonds(rc)`` (rc defaults to vdW-based cutoffs)."""
+        k3d = _require_k3d()
+        sys_ = self.system
+        bond = getattr(sys_, "bond", None)
+        if bond is None:
+            if rc is None:
+                raise ValueError(
+                    "no bonds on the system; pass rc to create them"
+                )
+            bond = sys_.create_bonds(rc, max_neigh=max_neigh)
+        # split PBC-crossing bonds: draw only pairs whose direct segment is
+        # the minimum image (others would streak across the box)
+        pos = sys_.pos
+        box = sys_.box
+        d = pos[bond[:, 1]] - pos[bond[:, 0]]
+        frac = d @ box.inverse_box
+        direct = np.all(np.abs(frac) < 0.5, axis=1)
+        bond = bond[direct]
+        self.bonds = k3d.lines(
+            pos.astype(np.float32), bond.astype(np.uint32),
+            indices_type="segment", color=color, width=width,
+            group="bonds",
+        )
+        self.plot += self.bonds
+
+    def hide_object_by_group_name(self, name: str, remove: bool = False):
+        """Hide (or remove) all plot objects in a k3d group."""
+        for obj in list(self.plot.objects):
+            if getattr(obj, "group", None) == name:
+                if remove:
+                    self.plot -= obj
+                else:
+                    obj.visible = False
+
+    def colored_by_attribute(self, column: str, cmap=None,
+                             vmin: Optional[float] = None,
+                             vmax: Optional[float] = None) -> None:
+        """Continuous coloring through k3d's attribute/color_map path —
+        draws a real colorbar (vs the text label of colored_by)."""
+        k3d = _require_k3d()
+        vals = np.asarray(self.system.data[column], dtype=np.float32)
+        lo = float(vals.min()) if vmin is None else float(vmin)
+        hi = float(vals.max()) if vmax is None else float(vmax)
+        if cmap is None:
+            cmap = k3d.matplotlib_color_maps.Viridis
+        self.atoms.attribute = vals
+        self.atoms.color_map = cmap
+        self.atoms.color_range = [lo, hi]
+        self._clear_label()
+
+    def delete_color_bar(self) -> None:
+        self.atoms.attribute = []
+        self.atoms.color_map = []
+
     def display(self):
         return self.plot.display()
 
