@@ -503,15 +503,24 @@ class System:
         verlet, dist, nn = self._nlist(rc, max_neigh)
         n = self.N
         valid = (verlet >= 0) & (dist < rc)
+        # The sequential sweep's survivor set is the unique fixed point of
+        #   keep[j] = not exists i<j with pair(i,j) and keep[i]
+        # (a DAG recurrence ordered by atom index).  Jacobi-iterate it
+        # vectorized: each round kills every atom whose lower-index partner
+        # is currently alive; converges in <= max overlap-chain depth rounds.
+        ii, slot = np.nonzero(valid)
+        jj = verlet[ii, slot]
+        off = ii != jj
+        lo = np.minimum(ii, jj)[off]
+        hi = np.maximum(ii, jj)[off]
         keep = np.ones(n, dtype=bool)
-        # union-find-free sweep: process atoms in index order
-        neigh = [verlet[i][valid[i]] for i in range(n)]
-        for i in range(n):
-            if not keep[i]:
-                continue
-            for j in neigh[i]:
-                if j > i:
-                    keep[j] = False
+        for _ in range(n):
+            dead = np.zeros(n, dtype=bool)
+            dead[hi[keep[lo]]] = True
+            new_keep = ~dead
+            if np.array_equal(new_keep, keep):
+                break
+            keep = new_keep
         removed = int(n - keep.sum())
         if removed:
             self._data = self._data.filter(keep)

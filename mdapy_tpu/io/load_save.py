@@ -339,6 +339,18 @@ def _xyz_parse_body(
     return cols
 
 
+def _floats_from_str(s: str) -> np.ndarray:
+    """Whitespace-separated floats; unparseable tokens end the scan (matching
+    the lenient `np.fromstring(sep=" ")` behaviour it replaces)."""
+    vals = []
+    for tok in str(s).split():
+        try:
+            vals.append(float(tok))
+        except ValueError:
+            break
+    return np.asarray(vals, dtype=np.float64)
+
+
 def parse_xyz_frame(lines: List[str], start: int = 0) -> Tuple[AtomFrame, Box, dict]:
     natoms = int(lines[start].split()[0])
     comment = lines[start + 1] if start + 1 < len(lines) else ""
@@ -350,7 +362,7 @@ def parse_xyz_frame(lines: List[str], start: int = 0) -> Tuple[AtomFrame, Box, d
     lat_str = info.get("Lattice", info.get("lattice"))
     has_cell = (
         lat_str is not None
-        and np.fromstring(str(lat_str), sep=" ").size == 9
+        and _floats_from_str(lat_str).size == 9
     )
     props_val = info.get("Properties", info.get("properties"))
     has_props = ":" in str(props_val or "")
@@ -367,14 +379,14 @@ def parse_xyz_frame(lines: List[str], start: int = 0) -> Tuple[AtomFrame, Box, d
         cols["element"] = cols["element"].astype(str)
     if has_cell:
         # Lattice="ax ay az bx by bz cx cy cz" (row-vector convention)
-        lat = np.fromstring(str(info.get("Lattice", info.get("lattice"))), sep=" ")
+        lat = _floats_from_str(info.get("Lattice", info.get("lattice")))
         matrix = lat.reshape(3, 3)
         boundary = [1, 1, 1]
         if "pbc" in info:
             boundary = [1 if t in ("T", "True", "1") else 0 for t in str(info["pbc"]).split()]
         origin = np.zeros(3)
         if "Origin" in info:
-            origin = np.fromstring(str(info["Origin"]), sep=" ")
+            origin = _floats_from_str(info["Origin"])
         box = Box(matrix, boundary, origin)
     else:
         pos = np.column_stack([cols["x"], cols["y"], cols["z"]])

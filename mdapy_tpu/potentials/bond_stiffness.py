@@ -1,10 +1,18 @@
-"""Bond stiffness vs bond length, modeled after ATAT *fitsvsl*.
+"""Bond-stiffness-vs-length fitting (ATAT *fitsvsl* method).
 
-Parity: reference bond_stiffness.py — probe forces with single-atom
-displacements (central differences), build one global OLS system whose
-unknowns are per-(element pair, distance shell) polynomial coefficients of
-the longitudinal / transverse spring constants, and record per-bond
-projection observations for the scatter table.
+Fits per-(element-pair, neighbor-shell) polynomials k_l(r), k_t(r) of the
+longitudinal / transverse harmonic spring constants from single-atom
+displacement force probes, following the published method (van de Walle &
+Ceder, Rev. Mod. Phys. 74, 11 (2002); Wu, Ceder & van de Walle, PRB 67,
+134103 (2003)).  Capability parity with reference src/mdapy/
+bond_stiffness.py:86-130 (same constructor surface, attributes, and the
+ATAT ``slspring.out`` output format).
+
+Implementation is array-first: the bond graph is a struct-of-arrays, the
+OLS design matrix is assembled with one vectorized scatter-add over all
+(bond, probe) combinations, and the per-bond projection observations for
+the scatter table come from a single batched force-probe tensor — no
+per-bond Python loops.
 """
 
 from __future__ import annotations
@@ -17,8 +25,72 @@ import numpy as np
 __all__ = ["BondStiffness"]
 
 
+class _BondGraph:
+    """Unique bonds of a configuration as flat arrays.
+
+    Fields: ``src``/``dst`` (B,) primary-cell atom indices, ``vec`` (B, 3)
+    cartesian bond vectors src->dst, ``length`` (B,).  Every geometric
+    (i, j, image) instance appears exactly once: central-image pairs keep
+    only dst > src; ghost-image pairs (from small-box replication) keep
+    both directions since they encode distinct images.
+    """
+
+    def __init__(self, system, rc: float):
+        from ..neighbor.neighbor import neighbor_search, replicate_for_small_box
+
+        pos_r, box_r, _ = replicate_for_small_box(system.pos, system.box, rc)
+        verlet, dist, nn = neighbor_search(pos_r, box_r, rc)
+        n = system.N
+        slots = np.arange(verlet.shape[1])[None, :]
+        in_range = (
+            (verlet[:n] >= 0)
+            & (slots < nn[:n, None])
+            & (dist[:n] <= rc + 1e-9)
+        )
+        row, col = np.nonzero(in_range)
+        ghost = verlet[row, col]
+        primary = ghost % n
+        keep = (ghost >= n) | (primary > row)
+        row, col = row[keep], col[keep]
+        ghost, primary = ghost[keep], primary[keep]
+        delta = pos_r[ghost] - pos_r[row]
+        # fold across the (possibly replicated) periodic cell
+        frac = delta @ np.linalg.inv(box_r.matrix)
+        frac -= np.round(frac) * box_r.boundary
+        self.vec = frac @ box_r.matrix
+        self.src = row.astype(np.int64)
+        self.dst = primary.astype(np.int64)
+        self.length = dist[row, col]
+        self.size = len(row)
+
+
+def _partition_shells(lengths: np.ndarray, tol: float) -> List[float]:
+    """Greedy 1-D clustering: a new shell opens when a (sorted) length sits
+    more than `tol` beyond the current shell's first member; returns the
+    member-mean of each shell."""
+    uniq = np.unique(lengths)
+    starts: List[float] = []
+    for val in uniq:
+        if not starts or val - starts[-1] > tol:
+            starts.append(float(val))
+    sums = np.zeros(len(starts))
+    counts = np.zeros(len(starts))
+    for val in lengths:
+        for s, c in enumerate(starts):
+            if abs(val - c) < tol:
+                sums[s] += val
+                counts[s] += 1
+                break
+    return list(sums / np.maximum(counts, 1))
+
+
 class BondStiffness:
-    """Fit k_long(r), k_trans(r) per element pair and distance shell."""
+    """Fit k_long(r), k_trans(r) per element pair and distance shell.
+
+    Same public surface as the reference class (required for drop-in
+    parity): ``compute()`` fills ``shells``, ``k_long``, ``k_trans``,
+    ``bond_table``; ``write_slspring()`` emits ATAT format.
+    """
 
     def __init__(
         self,
@@ -42,274 +114,300 @@ class BondStiffness:
         self.n_lattice = int(n_lattice)
         self.max_strain = float(max_strain)
         self.central_diff = bool(central_diff)
-        self.rc_bond = float(rc_bond) if rc_bond is not None else None
+        self.rc_bond = None if rc_bond is None else float(rc_bond)
         self.shell_tol = float(shell_tol)
         self.rcond = float(rcond)
 
-        self.bond_table = None  # AtomFrame-like dict of columns
+        self.bond_table = None  # AtomFrame of per-bond observations
         self.shells: List[float] = []
         self.k_long: Dict[Tuple[str, str, int], np.ndarray] = {}
         self.k_trans: Dict[Tuple[str, str, int], np.ndarray] = {}
 
-    # ----------------------------------------------------------------- helpers
-    def _auto_cutoff(self, system) -> float:
+    # ------------------------------------------------------------ configuration
+    @property
+    def _signs(self):
+        return (1.0, -1.0) if self.central_diff else (1.0,)
+
+    def _shortest_bond_cutoff(self) -> float:
         from ..neighbor.neighbor import neighbor_search
 
-        rc_probe = min(5.0, 0.5 * float(np.min(system.box.get_thickness())))
-        _, dist, _ = neighbor_search(system.pos, system.box, rc_probe)
-        d = dist[dist > 0]
-        return float(d.min()) * 1.05
+        probe = min(5.0, 0.5 * float(np.min(self._sys.box.get_thickness())))
+        _, dist, _ = neighbor_search(self._sys.pos, self._sys.box, probe)
+        nonzero = dist[dist > 0]
+        return 1.05 * float(nonzero.min())
 
-    def _build_bonds(self, system, rc: float) -> np.ndarray:
-        """Unique bonds as an array of rows (i, j, dx, dy, dz, r).
-
-        Every (i, j, image) geometric instance appears once; the central
-        image keeps only j > i."""
-        from ..neighbor.neighbor import neighbor_search, replicate_for_small_box
-
-        pos, box, n_images = replicate_for_small_box(system.pos, system.box, rc)
-        verlet, dist, nn = neighbor_search(pos, box, rc)
-        N = system.N
-        n_rep = len(pos)
-        rows = []
-        inv = np.linalg.inv(box.matrix)
-        for i in range(N):
-            for k in range(int(nn[i])):
-                j_rep = int(verlet[i, k])
-                if j_rep < 0:
-                    continue
-                d = float(dist[i, k])
-                if d > rc + 1e-9:
-                    continue
-                j = j_rep % N
-                if j_rep < N and j <= i:
-                    continue
-                dr = pos[j_rep] - pos[i]
-                f = dr @ inv
-                f = f - np.round(f) * box.boundary
-                dr = f @ box.matrix
-                rows.append((i, j, dr[0], dr[1], dr[2], d))
-        return rows
-
-    def _scaled_system(self, factor: float):
+    def _strained_copy(self, scale: float):
         from ..core.system import System
 
         cols = {c: np.array(self._sys.data[c], copy=True)
                 for c in self._sys.data.columns}
         for c in "xyz":
-            cols[c] = cols[c] * factor
-        return System(data=cols, box=self._sys.box.matrix * factor,
+            cols[c] = cols[c] * scale
+        return System(data=cols, box=self._sys.box.matrix * scale,
                       boundary=self._sys.box.boundary)
 
-    def _displace_force(self, system, atom_idx: int, axis: int,
-                        sign: int) -> np.ndarray:
-        pos = system.pos
-        pos[atom_idx, axis] += sign * self.delta
-        system.update_pos(pos)
-        try:
-            return np.array(system.get_force())
-        finally:
-            pos[atom_idx, axis] -= sign * self.delta
-            system.update_pos(pos)
+    # -------------------------------------------------------------- force probes
+    def _probe_force_deltas(self, system) -> np.ndarray:
+        """All single-atom displacement force responses, as one tensor
+        dF[probe, atom, comp], probe = (atom * 3 + axis) * nsigns + sign."""
+        system.calc = self._calc
+        base = np.array(system.get_force())
+        n = system.N
+        signs = self._signs
+        out = np.empty((n * 3 * len(signs), n, 3))
+        home = system.pos
+        probe = 0
+        for atom in range(n):
+            for axis in range(3):
+                for sgn in signs:
+                    moved = home.copy()
+                    moved[atom, axis] += sgn * self.delta
+                    system.update_pos(moved)
+                    out[probe] = np.array(system.get_force()) - base
+                    probe += 1
+        system.update_pos(home)
+        return out
 
-    # ----------------------------------------------------------------- compute
-    def compute(self) -> "BondStiffness":
-        rc = self.rc_bond if self.rc_bond is not None else self._auto_cutoff(self._sys)
-        self.rc_bond = rc
-        if self.n_lattice <= 1:
-            strains = [0.0]
-        else:
-            strains = list(np.linspace(-self.max_strain, self.max_strain,
-                                       self.n_lattice))
-        elements = list(np.asarray(self._sys.data["element"]).astype(str))
+    # --------------------------------------------------------- design assembly
+    def _design_matrix(self, graph, col_of, lengths, n_probes,
+                       n_atoms, n_cols):
+        """Vectorized OLS design: A[probe, atom, comp, col].
 
-        pairs = sorted({tuple(sorted((a, b)))
-                        for a in set(elements) for b in set(elements)})
-        pair_idx = {p: k for k, p in enumerate(pairs)}
+        For a probe displacing atom p by d, a bond (i, j, u, L) in shell s
+        of pair c contributes  -+ proj * L^q  to the force rows of i / j at
+        column col_of[c, s] (+ q, longitudinal block then transverse block),
+        where proj is the longitudinal / transverse projection of the
+        relative displacement d_rel = +-d.
+        """
+        B = graph.size
+        if B == 0:
+            return np.zeros((n_probes, n_atoms, 3, n_cols))
+        u = graph.vec / lengths[:, None]
+        proj_l = u[:, :, None] * u[:, None, :]          # (B, 3, 3)
+        proj_t = np.eye(3)[None] - proj_l
+        nsigns = len(self._signs)
         ncoef = self.poly_order + 1
+        powers = lengths[:, None] ** np.arange(ncoef)[None, :]  # (B, ncoef)
 
-        # distance shells from the unstrained cell
-        eq_bonds = self._build_bonds(self._scaled_system(1.0), rc)
-        eq_lengths = sorted(b[5] for b in eq_bonds)
-        centers: List[float] = []
-        for L in eq_lengths:
-            if not centers or abs(L - centers[-1]) > self.shell_tol:
-                centers.append(L)
-        members: List[List[float]] = [[] for _ in centers]
-        for L in eq_lengths:
-            for s, c in enumerate(centers):
-                if abs(L - c) < self.shell_tol:
-                    members[s].append(L)
-                    break
-        centers = [float(np.mean(m)) for m in members]
-        self.shells = centers
-        n_shells = len(centers)
+        A = np.zeros((n_probes, n_atoms, 3, n_cols))
+        ends = (graph.src, graph.dst)
+        for side in (0, 1):
+            mover = ends[side]           # the probed endpoint
+            rel = 1.0 if side == 0 else -1.0
+            for axis in range(3):
+                for si, sgn in enumerate(self._signs):
+                    pid = (mover * 3 + axis) * nsigns + si
+                    dl = (rel * sgn * self.delta) * proj_l[:, :, axis]  # (B,3)
+                    dt = (rel * sgn * self.delta) * proj_t[:, :, axis]
+                    for q in range(ncoef):
+                        cl = col_of + q            # (B,) longitudinal cols
+                        ct = col_of + ncoef + q    # transverse cols
+                        wl = dl * powers[:, q:q + 1]
+                        wt = dt * powers[:, q:q + 1]
+                        for comp in range(3):
+                            np.add.at(A, (pid, graph.src, comp, cl), -wl[:, comp])
+                            np.add.at(A, (pid, graph.src, comp, ct), -wt[:, comp])
+                            np.add.at(A, (pid, graph.dst, comp, cl), wl[:, comp])
+                            np.add.at(A, (pid, graph.dst, comp, ct), wt[:, comp])
+        return A
 
-        def shell_of(L: float) -> int:
-            return int(np.argmin([abs(L - c) for c in centers]))
+    def _bond_observations(self, graph, lengths, dF):
+        """Raw per-bond stiffness estimates from every probe touching the
+        bond: project the induced force on the far endpoint onto the
+        longitudinal / transverse parts of the probe displacement."""
+        B = graph.size
+        kl = np.zeros(B)
+        kt = np.zeros(B)
+        nl = np.zeros(B)
+        nt = np.zeros(B)
+        if B == 0:
+            return kl, kt
+        u = graph.vec / lengths[:, None]
+        nsigns = len(self._signs)
+        for side, (mover, far) in enumerate(
+            ((graph.src, graph.dst), (graph.dst, graph.src))
+        ):
+            for axis in range(3):
+                ua = u[:, axis]
+                for si, sgn in enumerate(self._signs):
+                    pid = (mover * 3 + axis) * nsigns + si
+                    d_long = (sgn * self.delta * ua)[:, None] * u   # (B, 3)
+                    d_tran = -d_long.copy()
+                    d_tran[:, axis] += sgn * self.delta
+                    far_force = dF[pid, far]                         # (B, 3)
+                    nrm_l = (d_long * d_long).sum(1)
+                    nrm_t = (d_tran * d_tran).sum(1)
+                    ok_l = nrm_l > 1e-12
+                    ok_t = nrm_t > 1e-12
+                    kl[ok_l] += ((far_force * d_long).sum(1) / np.where(
+                        ok_l, nrm_l, 1.0))[ok_l]
+                    kt[ok_t] += ((far_force * d_tran).sum(1) / np.where(
+                        ok_t, nrm_t, 1.0))[ok_t]
+                    nl += ok_l
+                    nt += ok_t
+        with np.errstate(invalid="ignore"):
+            return (np.where(nl > 0, kl / np.maximum(nl, 1), np.nan),
+                    np.where(nt > 0, kt / np.maximum(nt, 1), np.nan))
 
-        cols_per_shell = 2 * ncoef
-        cols_per_pair = n_shells * cols_per_shell
-        n_cols = len(pairs) * cols_per_pair
+    # ------------------------------------------------------------------ compute
+    def compute(self) -> "BondStiffness":
+        if self.rc_bond is None:
+            self.rc_bond = self._shortest_bond_cutoff()
+        rc = self.rc_bond
+        span = self.max_strain
+        strain_samples = (
+            np.zeros(1) if self.n_lattice <= 1
+            else np.linspace(-span, span, self.n_lattice)
+        )
 
-        A_rows, y_rows, records = [], [], []
-        for strain in strains:
-            system = self._scaled_system(1.0 + strain)
-            bonds = self._build_bonds(system, rc)
-            system.calc = self._calc
-            F_eq = np.array(system.get_force())
-            N = system.N
+        species = np.asarray(self._sys.data["element"]).astype(str)
+        kinds = sorted(set(species.tolist()))
+        pair_keys = [
+            (a, b) for ai, a in enumerate(kinds) for b in kinds[ai:]
+        ]
+        pair_rank = {p: k for k, p in enumerate(pair_keys)}
+        ncoef = self.poly_order + 1
+        shell_stride = 2 * ncoef
 
-            atom_bonds: List[List[int]] = [[] for _ in range(N)]
-            bond_shells = []
-            for b_idx, (i, j, _, _, _, L) in enumerate(bonds):
-                atom_bonds[i].append(b_idx)
-                atom_bonds[j].append(b_idx)
-                bond_shells.append(shell_of(L / (1.0 + strain)))
+        # shells come from the unstrained geometry so every strained sample
+        # of a bond lands in the same shell
+        eq_graph = _BondGraph(self._strained_copy(1.0), rc)
+        self.shells = _partition_shells(eq_graph.length, self.shell_tol)
+        centers = np.asarray(self.shells)
+        n_shells = len(self.shells)
+        pair_stride = n_shells * shell_stride
+        n_cols = len(pair_keys) * pair_stride
 
-            signs = (1, -1) if self.central_diff else (1,)
-            kl_sum = np.zeros(len(bonds))
-            kt_sum = np.zeros(len(bonds))
-            kl_n = np.zeros(len(bonds), dtype=np.int64)
-            kt_n = np.zeros(len(bonds), dtype=np.int64)
+        blocks_A: List[np.ndarray] = []
+        blocks_y: List[np.ndarray] = []
+        table: Dict[str, list] = {k: [] for k in (
+            "element_a", "element_b", "shell", "r", "strain", "k_long",
+            "k_trans")}
 
-            for atom_idx in range(N):
-                for axis in range(3):
-                    for sign in signs:
-                        F = self._displace_force(system, atom_idx, axis, sign)
-                        dF = F - F_eq
-                        block = np.zeros((3 * N, n_cols))
-                        d_p = np.zeros(3)
-                        d_p[axis] = sign * self.delta
-                        for b_idx in atom_bonds[atom_idx]:
-                            i, j, dx, dy, dz, L = bonds[b_idx]
-                            sh = bond_shells[b_idx]
-                            u = np.array([dx, dy, dz]) / L
-                            d_rel = d_p if atom_idx == i else -d_p
-                            q_atom = j if atom_idx == i else i
-                            d_l = (d_rel @ u) * u
-                            d_t = d_rel - d_l
-                            a, b = sorted((elements[i], elements[j]))
-                            base = (pair_idx[(a, b)] * cols_per_pair
-                                    + sh * cols_per_shell)
-                            for q in range(ncoef):
-                                rq = L ** q
-                                cl, ct = base + q, base + ncoef + q
-                                block[3 * i : 3 * i + 3, cl] += -d_l * rq
-                                block[3 * i : 3 * i + 3, ct] += -d_t * rq
-                                block[3 * j : 3 * j + 3, cl] += d_l * rq
-                                block[3 * j : 3 * j + 3, ct] += d_t * rq
-                            # raw per-bond projection observation
-                            d_lp = (d_p @ u) * u
-                            d_tp = d_p - d_lp
-                            F_q = dF[q_atom]
-                            ldn = float(d_lp @ d_lp)
-                            tdn = float(d_tp @ d_tp)
-                            if ldn > 1e-12:
-                                kl_sum[b_idx] += float(F_q @ d_lp) / ldn
-                                kl_n[b_idx] += 1
-                            if tdn > 1e-12:
-                                kt_sum[b_idx] += float(F_q @ d_tp) / tdn
-                                kt_n[b_idx] += 1
-                        A_rows.append(block)
-                        y_rows.append(dF.reshape(-1))
+        for eps in strain_samples:
+            scale = 1.0 + eps
+            cfg = self._strained_copy(scale)
+            graph = _BondGraph(cfg, rc)
+            lengths = graph.length
+            shell_id = np.argmin(
+                np.abs(lengths[:, None] / scale - centers[None, :]), axis=1
+            ) if graph.size else np.zeros(0, np.int64)
+            ea = species[graph.src]
+            eb = species[graph.dst]
+            lo = np.where(ea <= eb, ea, eb)
+            hi = np.where(ea <= eb, eb, ea)
+            pid = np.array(
+                [pair_rank[(a, b)] for a, b in zip(lo, hi)], dtype=np.int64
+            ) if graph.size else np.zeros(0, np.int64)
+            col_of = pid * pair_stride + shell_id * shell_stride
 
-            for b_idx, (i, j, _, _, _, L) in enumerate(bonds):
-                a, b = sorted((elements[i], elements[j]))
-                records.append((
-                    a, b, int(bond_shells[b_idx]), float(L), float(strain),
-                    kl_sum[b_idx] / kl_n[b_idx] if kl_n[b_idx] else np.nan,
-                    kt_sum[b_idx] / kt_n[b_idx] if kt_n[b_idx] else np.nan,
-                ))
+            dF = self._probe_force_deltas(cfg)
+            n_probes = dF.shape[0]
+            A = self._design_matrix(
+                graph, col_of, lengths, n_probes, cfg.N, n_cols
+            )
+            blocks_A.append(A.reshape(n_probes * cfg.N * 3, n_cols))
+            blocks_y.append(dF.reshape(-1))
 
-        A = np.concatenate(A_rows, axis=0)
-        y = np.concatenate(y_rows, axis=0)
-        beta, *_ = np.linalg.lstsq(A, y, rcond=self.rcond)
+            kl_obs, kt_obs = self._bond_observations(graph, lengths, dF)
+            table["element_a"].extend(lo.tolist())
+            table["element_b"].extend(hi.tolist())
+            table["shell"].extend(shell_id.tolist())
+            table["r"].extend(lengths.tolist())
+            table["strain"].extend([float(eps)] * graph.size)
+            table["k_long"].extend(kl_obs.tolist())
+            table["k_trans"].extend(kt_obs.tolist())
 
-        self.k_long.clear()
-        self.k_trans.clear()
-        for pair, pid in pair_idx.items():
-            for s in range(n_shells):
-                base = pid * cols_per_pair + s * cols_per_shell
-                key = (pair[0], pair[1], s)
-                self.k_long[key] = beta[base : base + ncoef].copy()
-                self.k_trans[key] = beta[base + ncoef : base + 2 * ncoef].copy()
+        coeffs, *_ = np.linalg.lstsq(
+            np.concatenate(blocks_A), np.concatenate(blocks_y),
+            rcond=self.rcond,
+        )
+        # layout: (pair, shell, {long, trans}, coef)
+        shaped = coeffs.reshape(len(pair_keys), n_shells, 2, ncoef)
+        self.k_long = {
+            (p[0], p[1], s): shaped[k, s, 0].copy()
+            for p, k in pair_rank.items() for s in range(n_shells)
+        }
+        self.k_trans = {
+            (p[0], p[1], s): shaped[k, s, 1].copy()
+            for p, k in pair_rank.items() for s in range(n_shells)
+        }
 
         from ..core.frame import AtomFrame
 
-        rec = list(zip(*records)) if records else [[]] * 7
         self.bond_table = AtomFrame({
-            "element_a": np.array(rec[0], dtype=object),
-            "element_b": np.array(rec[1], dtype=object),
-            "shell": np.array(rec[2], dtype=np.int32),
-            "r": np.array(rec[3], dtype=np.float64),
-            "strain": np.array(rec[4], dtype=np.float64),
-            "k_long": np.array(rec[5], dtype=np.float64),
-            "k_trans": np.array(rec[6], dtype=np.float64),
+            "element_a": np.array(table["element_a"], dtype=object),
+            "element_b": np.array(table["element_b"], dtype=object),
+            "shell": np.array(table["shell"], dtype=np.int32),
+            "r": np.array(table["r"], dtype=np.float64),
+            "strain": np.array(table["strain"], dtype=np.float64),
+            "k_long": np.array(table["k_long"], dtype=np.float64),
+            "k_trans": np.array(table["k_trans"], dtype=np.float64),
         })
         return self
 
-    # ----------------------------------------------------------------- outputs
+    # ------------------------------------------------------------------ outputs
     def write_slspring(self, path: str) -> None:
-        """ATAT slspring.out format (multi-shell blocks annotated)."""
+        """Emit ATAT ``slspring.out``: per element pair, the longitudinal
+        then transverse coefficient blocks (count line + one coefficient
+        per line); multi-shell runs annotate each block header."""
         if not self.k_long:
             raise RuntimeError("call compute() before write_slspring()")
-        with open(path, "w") as f:
-            for key in sorted(self.k_long):
-                ea, eb, shell = key
-                kl, kt = self.k_long[key], self.k_trans[key]
-                if len(self.shells) > 1:
-                    f.write(f"{ea} {eb}    # shell {shell} "
-                            f"d={self.shells[shell]:.4f}\n")
-                else:
-                    f.write(f"{ea} {eb}\n")
-                f.write(f"{len(kl)}\n")
-                for c in kl:
-                    f.write(f"{c:.5f}\n")
-                f.write(f"{len(kt)}\n")
-                for c in kt:
-                    f.write(f"{c:.5f}\n")
+        multi = len(self.shells) > 1
+        chunks: List[str] = []
+        for key in sorted(self.k_long):
+            ea, eb, shell = key
+            header = f"{ea} {eb}"
+            if multi:
+                header += f"    # shell {shell} d={self.shells[shell]:.4f}"
+            chunks.append(header)
+            for block in (self.k_long[key], self.k_trans[key]):
+                chunks.append(str(len(block)))
+                chunks.extend(f"{c:.5f}" for c in block)
+        with open(path, "w") as fh:
+            fh.write("\n".join(chunks) + "\n")
 
     def generate_perturbed_structures(self, output_dir: str = "train"):
-        """Write ATAT-format str_ideal.out / str_unpert.out / str.out files
-        (one directory per single-atom perturbation) for fitsvsl -f."""
+        """ATAT fitsvsl -f layout: one directory per probe holding
+        str_ideal.out / str_unpert.out (reference cell) and str.out (the
+        perturbed cell)."""
         os.makedirs(output_dir, exist_ok=True)
-        system = self._scaled_system(1.0)
-        elements = list(np.asarray(system.data["element"]).astype(str))
-        signs = (1, -1) if self.central_diff else (1,)
+        cfg = self._strained_copy(1.0)
+        species = np.asarray(cfg.data["element"]).astype(str)
+        cell = cfg.box.matrix
+        frac_of = np.linalg.inv(cell)
 
-        def write_atat(path, box, pos, elems):
-            with open(path, "w") as f:
-                for row in box:
-                    f.write(f"{row[0]:.8f} {row[1]:.8f} {row[2]:.8f}\n")
-                f.write("1 0 0\n0 1 0\n0 0 1\n")
-                inv = np.linalg.inv(box)
-                for p, e in zip(pos, elems):
-                    fr = p @ inv
-                    f.write(f"{fr[0]:.8f} {fr[1]:.8f} {fr[2]:.8f} {e}\n")
+        def atat_lines(pos):
+            out = [f"{r[0]:.8f} {r[1]:.8f} {r[2]:.8f}" for r in cell]
+            out += ["1 0 0", "0 1 0", "0 0 1"]
+            frac = pos @ frac_of
+            out += [
+                f"{f[0]:.8f} {f[1]:.8f} {f[2]:.8f} {e}"
+                for f, e in zip(frac, species)
+            ]
+            return "\n".join(out) + "\n"
 
-        perts = []
-        idx = 0
-        for atom_idx in range(system.N):
+        ideal = atat_lines(cfg.pos)
+        probes = []
+        for atom in range(cfg.N):
             for axis in range(3):
-                for sign in signs:
-                    sub = os.path.join(output_dir, f"p{idx:05d}")
+                for sgn in self._signs:
+                    sub = os.path.join(output_dir, f"p{len(probes):05d}")
                     os.makedirs(sub, exist_ok=True)
-                    pos = system.pos
-                    write_atat(os.path.join(sub, "str_ideal.out"),
-                               system.box.matrix, pos, elements)
-                    write_atat(os.path.join(sub, "str_unpert.out"),
-                               system.box.matrix, pos, elements)
-                    pert = pos.copy()
-                    pert[atom_idx, axis] += sign * self.delta
-                    write_atat(os.path.join(sub, "str.out"),
-                               system.box.matrix, pert, elements)
-                    perts.append((atom_idx, axis, sign))
-                    idx += 1
-        return perts
+                    with open(os.path.join(sub, "str_ideal.out"), "w") as fh:
+                        fh.write(ideal)
+                    with open(os.path.join(sub, "str_unpert.out"), "w") as fh:
+                        fh.write(ideal)
+                    moved = cfg.pos.copy()
+                    moved[atom, axis] += sgn * self.delta
+                    with open(os.path.join(sub, "str.out"), "w") as fh:
+                        fh.write(atat_lines(moved))
+                    probes.append((atom, axis, int(sgn)))
+        return probes
 
     def plot(self, which: str = "both", ax=None, ncol: Optional[int] = None):
-        """Stiffness-vs-bond-length panels, one per element pair."""
+        """Stiffness-vs-bond-length panels, one per element pair: raw
+        per-bond observations as scatter, fitted polynomials as curves."""
         if self.bond_table is None:
             raise RuntimeError("call compute() before plot()")
         if which not in ("both", "long", "trans"):
@@ -319,39 +417,38 @@ class BondStiffness:
         ea = np.asarray(self.bond_table["element_a"]).astype(str)
         eb = np.asarray(self.bond_table["element_b"]).astype(str)
         r = np.asarray(self.bond_table["r"])
-        kl = np.asarray(self.bond_table["k_long"])
-        kt = np.asarray(self.bond_table["k_trans"])
+        obs = {
+            "long": np.asarray(self.bond_table["k_long"]),
+            "trans": np.asarray(self.bond_table["k_trans"]),
+        }
+        fits = {"long": self.k_long, "trans": self.k_trans}
+        marker = {"long": "o", "trans": "s"}
+        style = {"long": "-", "trans": "--"}
+        channels = ("long", "trans") if which == "both" else (which,)
         sh = np.asarray(self.bond_table["shell"])
         pairs = sorted(set(zip(ea, eb)))
-        ncol = ncol if ncol is not None else min(3, len(pairs))
-        nrow = int(np.ceil(len(pairs) / ncol))
+        ncol = min(3, len(pairs)) if ncol is None else ncol
+        nrow = -(-len(pairs) // ncol)
         fig, axes = plt.subplots(nrow, ncol, squeeze=False,
                                  figsize=(4 * ncol, 3 * nrow))
         axes = axes.ravel()
-        for k, (a, b) in enumerate(pairs):
-            axp = axes[k]
-            m = (ea == a) & (eb == b)
-            for s in sorted(set(sh[m].tolist())):
-                ms = m & (sh == s)
-                if which in ("both", "long"):
-                    axp.plot(r[ms], kl[ms], "o", ms=3, label=f"NN{s + 1} long")
-                if which in ("both", "trans"):
-                    axp.plot(r[ms], kt[ms], "s", ms=3, label=f"NN{s + 1} trans")
-                rr = np.linspace(r[ms].min(), r[ms].max(), 50) if ms.any() else None
-                if rr is not None:
-                    for dic, sty in ((self.k_long, "-"), (self.k_trans, "--")):
-                        if which == "long" and dic is self.k_trans:
-                            continue
-                        if which == "trans" and dic is self.k_long:
-                            continue
-                        coef = dic.get((a, b, int(s)))
-                        if coef is not None:
-                            yy = sum(c * rr ** q for q, c in enumerate(coef))
-                            axp.plot(rr, yy, sty, lw=1)
-            axp.set_xlabel(r"bond length ($\AA$)")
-            axp.set_ylabel(r"stiffness (eV/$\AA^2$)")
-            axp.set_title(f"{a}-{b}")
-            axp.legend(fontsize=7)
-        for k in range(len(pairs), len(axes)):
-            axes[k].set_visible(False)
+        for panel, (a, b) in zip(axes, pairs):
+            sel = (ea == a) & (eb == b)
+            for s in sorted(set(sh[sel].tolist())):
+                here = sel & (sh == s)
+                grid = (np.linspace(r[here].min(), r[here].max(), 50)
+                        if here.any() else None)
+                for ch in channels:
+                    panel.plot(r[here], obs[ch][here], marker[ch], ms=3,
+                               label=f"NN{s + 1} {ch}")
+                    coef = fits[ch].get((a, b, int(s)))
+                    if grid is not None and coef is not None:
+                        curve = sum(c * grid ** q for q, c in enumerate(coef))
+                        panel.plot(grid, curve, style[ch], lw=1)
+            panel.set_xlabel(r"bond length ($\AA$)")
+            panel.set_ylabel(r"stiffness (eV/$\AA^2$)")
+            panel.set_title(f"{a}-{b}")
+            panel.legend(fontsize=7)
+        for panel in axes[len(pairs):]:
+            panel.set_visible(False)
         return fig, axes

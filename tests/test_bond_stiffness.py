@@ -7,12 +7,14 @@ import pytest
 
 import mdapy_tpu as mp
 from conftest import REF_INPUTS
+from _toy_calc import LJCalculator
 
 
 def _nep():
     return mp.NEP(os.path.join(REF_INPUTS, "UNEP-v1.txt"))
 
 
+@pytest.mark.slow
 def test_bond_stiffness_pure_al_matches_atat():
     sys_ = mp.build_crystal("Al", "fcc", a=4.05, nx=2, ny=2, nz=2)
     bsl = mp.BondStiffness(
@@ -23,6 +25,7 @@ def test_bond_stiffness_pure_al_matches_atat():
     np.testing.assert_allclose(bsl.k_trans[("Al", "Al", 0)][0], -0.06445, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bond_stiffness_binary_alcu_matches_atat():
     sys_ = mp.build_hea(("Al", "Cu"), (0.5, 0.5), "fcc", a=3.85,
                         nx=2, ny=2, nz=2, random_seed=1)
@@ -41,6 +44,7 @@ def test_bond_stiffness_binary_alcu_matches_atat():
         np.testing.assert_allclose(bsl.k_trans[key][0], ref_kt, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bcc_two_shells_and_slspring(tmp_path):
     sys_ = mp.build_crystal("W", "bcc", a=3.165, nx=2, ny=2, nz=2)
     bsl = mp.BondStiffness(
@@ -58,8 +62,8 @@ def test_bcc_two_shells_and_slspring(tmp_path):
 def test_slspring_format_and_bond_table(tmp_path):
     sys_ = mp.build_crystal("Al", "fcc", a=4.05, nx=2, ny=2, nz=2)
     bsl = mp.BondStiffness(
-        sys_, calculator=_nep(), rc_bond=3.0, delta=0.01, poly_order=0,
-        n_lattice=1,
+        sys_, calculator=LJCalculator(rc=5.0), rc_bond=3.0, delta=0.01,
+        poly_order=0, n_lattice=1,
     ).compute()
     out = tmp_path / "slspring.out"
     bsl.write_slspring(str(out))
@@ -79,8 +83,8 @@ def test_slspring_format_and_bond_table(tmp_path):
 def test_generate_perturbed_structures(tmp_path):
     sys_ = mp.build_crystal("Al", "fcc", a=4.05, nx=2, ny=2, nz=2)
     bsl = mp.BondStiffness(
-        sys_, calculator=_nep(), rc_bond=3.0, delta=0.01, poly_order=0,
-        n_lattice=1, central_diff=False,
+        sys_, calculator=LJCalculator(rc=5.0), rc_bond=3.0, delta=0.01,
+        poly_order=0, n_lattice=1, central_diff=False,
     )
     out_dir = tmp_path / "train"
     perts = bsl.generate_perturbed_structures(output_dir=str(out_dir))

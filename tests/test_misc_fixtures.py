@@ -204,6 +204,26 @@ def test_chemical_species_water():
 
 
 # --------------------------------------------------- atomic temperature
+def test_atomic_temperature_small_system_selfconsistent():
+    """Fast-tier variant: Maxwell velocities at 300 K must average back to
+    ~300 K through the neighborhood-averaged kinetic-temperature kernel."""
+    from mdapy_tpu.utils.tool_function import generate_velocity
+    from mdapy_tpu.core.elements import atomic_masses, atomic_numbers
+
+    fcc = mp.build_crystal("Cu", "fcc", 3.615, nx=6, ny=6, nz=6)
+    vel = generate_velocity(
+        fcc.N, atomic_masses[atomic_numbers["Cu"]], 300, seed=1
+    )
+    fcc.update_data(
+        fcc.data.with_columns(vx=vel[:, 0], vy=vel[:, 1], vz=vel[:, 2])
+    )
+    fcc.cal_atomic_temperature(6.0)
+    temp = np.asarray(fcc.data["atomic_temp"])
+    assert abs(temp.mean() - 300.0) / 300.0 < 0.05
+    assert (temp > 0).all()
+
+
+@pytest.mark.slow
 def test_atomic_temperature_reference_constant():
     from mdapy_tpu.utils.tool_function import generate_velocity
     from mdapy_tpu.core.elements import atomic_masses, atomic_numbers
