@@ -65,19 +65,70 @@ def bench_potentials():
     from mdapy_tpu.potentials.eam import EAM, EAMGenerator
     from mdapy_tpu.potentials.nep import NEP
 
+    import jax
+    import jax.numpy as jnp
+
     out = {}
     s = mp.build_crystal("Cu", "fcc", 3.615, nx=40, ny=40, nz=40)  # 256k
 
+    def force_call_time(calc, reps=2):
+        """Device-resident force call (neighbor build + kernel + scalar
+        sync); results stay on device, as a minimizer/MD loop would consume
+        them.  block_until_ready is NOT trusted on the tunneled backend —
+        a device scalar fetch is the sync."""
+        best = 1e30
+        for _ in range(reps):
+            calc.results = {}
+            t0 = time.time()
+            calc.calculate(s)
+            float(jnp.sum(calc.results["forces"]))
+            best = min(best, time.time() - t0)
+        return best
+
     nep = NEP("/root/reference/tests/input_files/UNEP-v1.txt")
     nep.calculate(s)  # compile
-    t0 = time.time(); nep.calculate(s); t_nep = time.time() - t0
+    t_nep = force_call_time(nep)
     out["nep_force_256k_s"] = round(t_nep, 3)
 
     EAMGenerator(["Cu"], output_filename="/tmp/Cu.eam.alloy")
     eam = EAM("/tmp/Cu.eam.alloy")
     eam.calculate(s)
-    t0 = time.time(); eam.calculate(s); t_eam = time.time() - t0
+    t_eam = force_call_time(eam)
     out["eam_force_256k_s"] = round(t_eam, 3)
+    # full host materialization of all per-atom results (13 MB over the
+    # tunneled link; on a directly-attached TPU this is PCIe-speed)
+    t0 = time.time()
+    _ = eam.get_forces(s), eam.get_energies(s), eam.get_virials(s)
+    out["eam_force_256k_host_extra_s"] = round(time.time() - t0, 3)
+
+    # compiled reference _eam + _neighbor baselines (reference sources via
+    # tools/ref_shim, 2 host threads = all this host has)
+    try:
+        import json as _json
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        ebin = "/tmp/eam_bench"
+        if not os.path.exists(ebin):
+            subprocess.run(
+                ["sh", os.path.join(here, "tools", "eam_baseline", "build.sh"), ebin],
+                check=True, capture_output=True, timeout=300,
+            )
+        r = subprocess.run(
+            [ebin, "eam", "40", "/tmp/Cu.eam.alloy", "3", "2"],
+            capture_output=True, text=True, timeout=900,
+        )
+        ref = _json.loads(r.stdout.strip().splitlines()[-1])
+        out["eam_ref_256k_s"] = round(ref["seconds"], 3)
+        out["eam_vs_ref_speedup"] = round(ref["seconds"] / t_eam, 2)
+        r = subprocess.run(
+            [ebin, "neighbor", "63", "5.0", "3", "2"],
+            capture_output=True, text=True, timeout=900,
+        )
+        ref = _json.loads(r.stdout.strip().splitlines()[-1])
+        out["neighbor_ref_1M_s"] = round(ref["seconds"], 3)
+    except Exception:
+        pass
 
     # reference NEPCPU wall-time (warm + 1 timed rep)
     try:
@@ -101,18 +152,20 @@ def bench_potentials():
     except Exception:
         pass
 
-    # neighbor build, device-resident, 1M atoms
-    import jax
-
+    # neighbor build, device-resident, 1M atoms (scalar-fetch synced)
     from mdapy_tpu.neighbor.neighbor import neighbor_search_device
 
     s1 = mp.build_crystal("Cu", "fcc", 3.615, nx=63, ny=63, nz=63)
     r1 = neighbor_search_device(s1.pos, s1.box, 5.0)
-    jax.block_until_ready(r1[1])
+    float(jnp.sum(r1[2]))
     t0 = time.time()
     r1 = neighbor_search_device(s1.pos, s1.box, 5.0)
-    jax.block_until_ready(r1[1])
+    float(jnp.sum(r1[2]))
     out["neighbor_1M_rc5_s"] = round(time.time() - t0, 3)
+    if "neighbor_ref_1M_s" in out:
+        out["neighbor_vs_ref_speedup"] = round(
+            out["neighbor_ref_1M_s"] / out["neighbor_1M_rc5_s"], 2
+        )
     return out
 
 

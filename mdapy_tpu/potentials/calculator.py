@@ -69,24 +69,36 @@ class CalculatorMP(ABC):
     def calculate(self, system) -> None:
         """Fill self.results with energies/forces/virials/stress."""
 
+    def _fetch(self, key) -> np.ndarray:
+        """Materialize a result on the host (and cache the numpy copy).
+
+        Calculators may stage results as device arrays; the host copy is
+        produced on first access so device-resident pipelines (minimizer
+        steps, bench loops) never pay the device->host transfer."""
+        v = self.results[key]
+        if not isinstance(v, np.ndarray):
+            v = np.asarray(v)
+            self.results[key] = v
+        return v
+
     def get_energies(self, *args) -> np.ndarray:
         self._ensure(self._coerce(args))
-        return self.results["energies"]
+        return self._fetch("energies")
 
     def get_energy(self, *args) -> float:
         return float(self.get_energies(*args).sum())
 
     def get_forces(self, *args) -> np.ndarray:
         self._ensure(self._coerce(args))
-        return self.results["forces"]
+        return self._fetch("forces")
 
     def get_stress(self, *args) -> np.ndarray:
         self._ensure(self._coerce(args))
-        return self.results["stress"]
+        return self._fetch("stress")
 
     def get_virials(self, *args) -> np.ndarray:
         self._ensure(self._coerce(args))
-        return self.results["virials"]
+        return self._fetch("virials")
 
     @staticmethod
     def stress_from_virials(virials: np.ndarray, volume: float) -> np.ndarray:

@@ -25,6 +25,9 @@ from .calculator import CalculatorMP
 
 __all__ = ["EAM", "EAMAverage", "lammps_spline_coeffs", "spline_eval"]
 
+# lo-width of the two-level spline-table lookup (idx = hi*_LANE + lo)
+_LANE = 16
+
 
 def lammps_spline_coeffs(y: np.ndarray) -> np.ndarray:
     """Node derivatives (in normalized coordinate) of the LAMMPS spline.
@@ -160,15 +163,15 @@ class EAM(CalculatorMP):
         return output_name
 
     # -- evaluation --------------------------------------------------------
-    def _packed_tables(self):
-        """Spline node data packed so one row gather fetches the whole local
-        cubic: row [y_m, y_{m+1}, fp_m, fp_{m+1}] per (table, node).
+    def _eval_tables(self):
+        """Spline node tables in the two forms the kernel uses.
 
-        The round-1 evaluator issued ~16 scalar table gathers per pair
-        (spline_eval x 5 channels); on TPU gathers are latency-bound per
-        *row*, so packing drops the gather count 4x and lets one fetch serve
-        value + derivative."""
-        cached = getattr(self, "_pack_cache", None)
+        ``*_flat``: packed rows [y_m, y_{m+1}, fp_m, fp_{m+1}] per (group,
+        node) for the row-gather path — one 4-wide row gather fetches the
+        whole local cubic.  ``*_W``: the same data as an MXU weight matrix
+        (H, groups*LANE*4) for the two-level one-hot lookup (see
+        _node_lookup), which replaces the scalar-gather unit with matmuls."""
+        cached = getattr(self, "_tab_cache", None)
         if cached is not None:
             return cached
 
@@ -178,14 +181,32 @@ class EAM(CalculatorMP):
                 [y[..., :-1], y[..., 1:], fp[..., :-1], fp[..., 1:]], axis=-1
             )
 
+        def weights(packed):
+            G, rows, _ = packed.shape
+            H = -(-rows // _LANE)
+            pad = np.zeros((G, H * _LANE - rows, 4), packed.dtype)
+            seg = np.concatenate([packed, pad], axis=1).reshape(
+                G, H, _LANE * 4
+            )
+            return np.ascontiguousarray(
+                np.transpose(seg, (1, 0, 2))
+            ).reshape(H, G * _LANE * 4)
+
         nt = self.Nelements
-        rho_pack = pack(self.rho_r, self._rho_fp).reshape(-1, 4)
-        z2r_pack = pack(self._rphi_r, self._z2r_fp).reshape(-1, 4)
-        F_pack = pack(self.F_rho, self._F_fp).reshape(-1, 4)
-        self._pack_cache = (
-            jnp.asarray(rho_pack), jnp.asarray(z2r_pack), jnp.asarray(F_pack)
+        rho_p = pack(self.rho_r, self._rho_fp)
+        z2r_p = pack(self._rphi_r, self._z2r_fp).reshape(
+            nt * nt, self.nr - 1, 4
         )
-        return self._pack_cache
+        F_p = pack(self.F_rho, self._F_fp)
+        self._tab_cache = dict(
+            rho_flat=jnp.asarray(rho_p.reshape(-1, 4)),
+            z2r_flat=jnp.asarray(z2r_p.reshape(-1, 4)),
+            F_flat=jnp.asarray(F_p.reshape(-1, 4)),
+            rho_W=jnp.asarray(weights(rho_p)),
+            z2r_W=jnp.asarray(weights(z2r_p)),
+            F_W=jnp.asarray(weights(F_p)),
+        )
+        return self._tab_cache
 
     def calculate(self, system) -> None:
         elems = np.asarray(system.data["element"]).astype(str)
@@ -201,33 +222,49 @@ class EAM(CalculatorMP):
         if n_images > 1:
             types = np.tile(types, n_images)
         from ..neighbor.neighbor import neighbor_search_device
-        from .pairops import reverse_permutation_device
 
         # box already enlarged, so indices refer to the replicated atom set
         pos_d, verlet_d, cnt_d, _ = neighbor_search_device(pos, box, self.rc)
-        rev_d, bad = reverse_permutation_device(verlet_d)
-        if int(bad):  # pragma: no cover - guarded by the build contract
-            raise RuntimeError("asymmetric neighbor list in EAM evaluation")
-        rho_pack, z2r_pack, F_pack = self._packed_tables()
+        tab = self._eval_tables()
+        nt = self.Nelements
+        # one-hot MXU lookups when the matmul stays small (H*groups bounds
+        # the per-pair FLOPs); the row-gather path covers big multi-element
+        # tables and the CPU backend (whose native gathers are fast)
+        H = -(-(self.nr - 1) // _LANE)
+        use_mxu = (
+            jax.default_backend() != "cpu" and H * nt * nt <= 2048
+        )
+        pack8 = jnp.concatenate(
+            [
+                pos_d,
+                jnp.asarray(types, pos_d.dtype)[:, None],
+                jnp.zeros((pos_d.shape[0], 4), pos_d.dtype),
+            ],
+            axis=1,
+        )
         energy, force, virial = _eam_force_fast(
-            pos_d, jnp.asarray(types), verlet_d, rev_d,
+            pack8, verlet_d,
             jnp.asarray(box.matrix, pos_d.dtype),
             jnp.asarray(box.inverse_box, pos_d.dtype),
             jnp.asarray(box.boundary.astype(np.float64), pos_d.dtype),
-            rho_pack, z2r_pack, F_pack,
+            tab["rho_flat"], tab["z2r_flat"], tab["F_flat"],
+            tab["rho_W"], tab["z2r_W"], tab["F_W"],
             self.drho, self.dr, self.rc,
-            self.nr, self.nrho, self.Nelements,
+            self.nr, self.nrho, nt,
             _eam_block(pos_d.shape[0], verlet_d.shape[1]),
+            use_mxu,
         )
-        energy = np.asarray(energy)
-        force = np.asarray(force)
-        virial = np.asarray(virial)
+        # results stay device-resident; CalculatorMP._fetch materializes on
+        # first host access.  Stress is assembled on device (Voigt, same
+        # convention as stress_from_virials).
+        vsum = jnp.sum(virial, axis=0).reshape(3, 3)
+        stress = (-0.5 * (vsum + vsum.T) / abs(box.volume)).ravel()[
+            jnp.array([0, 4, 8, 5, 2, 1])
+        ]
         self.results["energies"] = energy[:old_n]
         self.results["forces"] = force[:old_n]
         self.results["virials"] = virial[:old_n]
-        self.results["stress"] = self.stress_from_virials(
-            virial, abs(box.volume)
-        )
+        self.results["stress"] = stress
 
     def plot(self, fig=None, ax=None):
         import matplotlib.pyplot as plt
@@ -253,47 +290,97 @@ def _eam_block(n: int, M: int) -> int:
     return max(128, min(b, 16384))
 
 
-def _spline_rows(pack, idx):
-    """Gather the 4 node values per evaluation point, one column at a time
-    (a (B, M, 4) row-gather output pads its minor dim 32x on TPU)."""
-    return tuple(pack[:, c][idx] for c in range(4))
+def _node_lookup(m, groups, W, flat, n_rows: int, use_mxu: bool):
+    """Bracketing spline-node data per evaluation point, per group table.
+
+    m: (..., ) int32 node index within a table of `n_rows` packed rows;
+    `groups`: tuple of same-shaped int32 group ids (element / element-pair);
+    returns one (y0, y1, fp0, fp1) tuple per entry in `groups`.
+
+    MXU path: the lookup index factorizes as m = hi*LANE + lo, so one
+    one-hot(hi) matmul against the weight matrix W (H, G*LANE*4) pulls every
+    group's 4-node row for all LANE residues at once; group and residue are
+    then selected with dense one-hot contractions.  This sidesteps the TPU
+    scalar-gather unit (~7 ns/element — a 1.4M-element gather costs ~10 ms;
+    the matmul form runs the same lookup in <2 ms and is exact, since the
+    one-hot picks single f32 values).
+
+    Gather path (CPU, or large multi-element tables): one 4-wide row gather
+    per group from the flat packed table.
+    """
+    if use_mxu:
+        shp = m.shape
+        flatm = m.reshape(-1)
+        dt = flat.dtype
+        H = W.shape[0]
+        G = W.shape[1] // (_LANE * 4)
+        hi = flatm // _LANE
+        lo = flatm % _LANE
+        oh_hi = (hi[:, None] == jnp.arange(H, dtype=hi.dtype)[None]).astype(dt)
+        R = jax.lax.dot_general(
+            oh_hi, W, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(-1, G, _LANE, 4)
+        sel_lo = (
+            lo[:, None] == jnp.arange(_LANE, dtype=lo.dtype)[None]
+        ).astype(dt)
+        out = []
+        for g in groups:
+            sel_g = (
+                g.reshape(-1)[:, None] == jnp.arange(G, dtype=jnp.int32)[None]
+            ).astype(dt)
+            Rg = jnp.einsum("pg,pgle->ple", sel_g, R)
+            v = jnp.einsum("pl,ple->pe", sel_lo, Rg)
+            out.append(tuple(v[:, c].reshape(shp) for c in range(4)))
+        return out
+    out = []
+    for g in groups:
+        rows = flat[g * n_rows + m]
+        out.append(tuple(rows[..., c] for c in range(4)))
+    return out
 
 
-def _spline_from_rows(rows, dx, h):
-    """(f, df) of the LAMMPS cubic from packed node values
-    (y_m, y_{m+1}, fp_m, fp_{m+1}) (same math as spline_eval)."""
-    ym, yp, fm, fpp = rows
-    a = ym
-    b = fm / h
-    c = (3.0 * (yp - ym) - 2.0 * fm - fpp) / (h * h)
-    d = (fm + fpp - 2.0 * (yp - ym)) / (h * h * h)
-    f = a + dx * (b + dx * (c + dx * d))
+def _hermite(nodes, dx, h):
+    """(f, df) of the LAMMPS cubic from node data (y_m, y_{m+1}, fp_m,
+    fp_{m+1}); dx in [0, h] is the offset inside the interval."""
+    y0, y1, f0, f1 = nodes
+    b = f0 / h
+    c = (3.0 * (y1 - y0) - 2.0 * f0 - f1) / (h * h)
+    d = (f0 + f1 - 2.0 * (y1 - y0)) / (h * h * h)
+    f = y0 + dx * (b + dx * (c + dx * d))
     df = b + dx * (2.0 * c + 3.0 * dx * d)
     return f, df
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nr", "nrho", "nt", "block")
+    jax.jit, static_argnames=("nr", "nrho", "nt", "block", "use_mxu")
 )
 def _eam_force_fast(
-    pos, types, verlet, rev, matrix, inv, boundary,
-    rho_pack, z2r_pack, F_pack, drho, dr, rc,
-    nr: int, nrho: int, nt: int, block: int,
+    pack8, verlet, matrix, inv, boundary,
+    rho_flat, z2r_flat, F_flat, rho_W, z2r_W, F_W,
+    drho, dr, rc, nr: int, nrho: int, nt: int, block: int, use_mxu: bool,
 ):
-    """TPU-fast EAM: chunked two-pass evaluation over packed spline rows.
+    """TPU-fast EAM: gather-minimal two-pass evaluation.
 
     Parity: reference src/eam.cpp:40 (density pass -> embedding -> pair
-    force pass with the dF_i + dF_j chain).  The dF_j term is not gathered —
-    it arrives through the reverse-pair assembly (pairops): the per-pair
-    gradient J carries only atom i's own-row terms and J - Jrev reproduces
-    the full symmetric pair force exactly.
+    force pass) with the full symmetric chain phi' + dF_i*rho_j' +
+    dF_j*rho_i' applied per pair, so no reverse-pair permutation is needed
+    and every output is a block-local reduction.
+
+    The TPU scalar-gather unit is the bottleneck (~14 ns per gathered row),
+    so the kernel touches it as little as possible:
+      * pass 1 issues ONE (B, M, 8) neighbor row gather (position + type in
+        one fetch) and evaluates EVERY pair channel — pair density, z2r and
+        both rho' derivatives are functions of geometry alone, not of the
+        embedding — staging the per-pair force factors (w0, wj, wi) and
+        displacement components in HBM;
+      * pass 2 re-reads those staged arrays densely and issues only the one
+        unavoidable gather, dF[j], closing the dF_i/dF_j chain.
+    Spline-node data comes from the MXU one-hot lookup (_node_lookup), not
+    gathers, whenever the tables are small enough.
     """
     n, M = verlet.shape
-    ok = verlet >= 0
-    j = jnp.maximum(verlet, 0)
-    dtype = pos.dtype
-    px_all, py_all, pz_all = pos[:, 0], pos[:, 1], pos[:, 2]
-
+    dtype = pack8.dtype
     npad = -(-n // block) * block
     nblk = npad // block
 
@@ -303,22 +390,17 @@ def _eam_force_fast(
             (nblk, block) + a.shape[1:]
         )
 
-    pos_b = pad_rows(pos, 0.0)
-    types_b = pad_rows(types, 0)
     verlet_b = pad_rows(verlet, -1)
+    pack_b = pad_rows(pack8, 0.0)
 
-    def pair_geom(args):
-        """Per-block displacement/type/node data (recomputed per pass).
-
-        Per-component gathers: a packed (B, M, 4) row-gather output pads its
-        minor dim to 128 on TPU (32x HBM blowup)."""
-        pos_blk, vb = args
+    # ---- pass 1: geometry + every geometry-only pair channel ------------
+    def pair_blk(args):
+        rows_i, vb = args
         okb = vb >= 0
-        jb = jnp.maximum(vb, 0)
-        cx = px_all[jb] - pos_blk[:, 0, None]          # (B, M)
-        cy = py_all[jb] - pos_blk[:, 1, None]
-        cz = pz_all[jb] - pos_blk[:, 2, None]
-        tjb = types[jb]
+        nbr = pack8[jnp.maximum(vb, 0)]          # ONE (B, M, 8) row gather
+        cx = nbr[..., 0] - rows_i[:, 0, None]
+        cy = nbr[..., 1] - rows_i[:, 1, None]
+        cz = nbr[..., 2] - rows_i[:, 2, None]
         fa = cx * inv[0, 0] + cy * inv[1, 0] + cz * inv[2, 0]
         fb = cx * inv[0, 1] + cy * inv[1, 1] + cz * inv[2, 1]
         fc = cx * inv[0, 2] + cy * inv[1, 2] + cz * inv[2, 2]
@@ -328,63 +410,70 @@ def _eam_force_fast(
         ddx = fa * matrix[0, 0] + fb * matrix[1, 0] + fc * matrix[2, 0]
         ddy = fa * matrix[0, 1] + fb * matrix[1, 1] + fc * matrix[2, 1]
         ddz = fa * matrix[0, 2] + fb * matrix[1, 2] + fc * matrix[2, 2]
-        disp = jnp.stack([ddx, ddy, ddz], axis=-1)
         d = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
         okb = okb & (d <= rc)
         d0 = jnp.where(okb, d, 0.0)
         m = jnp.clip(jnp.floor(d0 / dr).astype(jnp.int32), 0, nr - 2)
         dx = jnp.clip(d0 - m.astype(dtype) * dr, 0.0, dr)
-        return disp, d0, okb, tjb, m, dx
+        tj = nbr[..., 3].astype(jnp.int32)
+        ti = rows_i[:, 3].astype(jnp.int32)
+        tib = jnp.broadcast_to(ti[:, None], tj.shape)
 
-    # ---- pass 1: density ------------------------------------------------
-    def rho_block(args):
-        _, d0, okb, tjb, m, dx = pair_geom(args)
-        rows = _spline_rows(rho_pack, tjb * (nr - 1) + m)
-        rho_ij, _ = _spline_from_rows(rows, dx, dr)
-        return jnp.sum(jnp.where(okb, rho_ij, 0.0), axis=1)
+        nodes_j, nodes_i = _node_lookup(
+            m, (tj, tib), rho_W, rho_flat, nr - 1, use_mxu
+        )
+        rho_ij, drho_j = _hermite(nodes_j, dx, dr)
+        _, drho_i = _hermite(nodes_i, dx, dr)
+        (z_nodes,) = _node_lookup(
+            m, (tib * nt + tj,), z2r_W, z2r_flat, nr - 1, use_mxu
+        )
+        z2, dz2 = _hermite(z_nodes, dx, dr)
 
-    rho_i = jax.lax.map(rho_block, (pos_b, verlet_b)).reshape(npad)[:n]
+        rinv = 1.0 / jnp.where(okb, d0, 1.0)
+        phi = z2 * rinv
+        dphi = (dz2 - phi) * rinv
+        rho_i = jnp.sum(jnp.where(okb, rho_ij, 0.0), axis=1)
+        e_pair = jnp.sum(jnp.where(okb, 0.5 * phi, 0.0), axis=1)
+        # staged force factors: w = w0 + dF_i*wj + dF_j*wi  (pass 2)
+        w0 = jnp.where(okb, dphi * rinv, 0.0)
+        wj = jnp.where(okb, drho_j * rinv, 0.0)
+        wi = jnp.where(okb, drho_i * rinv, 0.0)
+        return (rho_i, e_pair), (ddx, ddy, ddz, w0, wj, wi)
 
-    # embedding (per atom, tiny)
+    (rho_i, e_pair), staged = jax.lax.map(pair_blk, (pack_b, verlet_b))
+    rho_i = rho_i.reshape(npad)[:n]
+    e_pair = e_pair.reshape(npad)[:n]
+
+    # ---- embedding (per atom) ------------------------------------------
+    ti_all = pack8[:, 3].astype(jnp.int32)
     mrho = jnp.clip(jnp.floor(rho_i / drho).astype(jnp.int32), 0, nrho - 2)
     dxr = jnp.clip(rho_i - mrho.astype(dtype) * drho, 0.0, drho)
-    Frows = _spline_rows(F_pack, types * (nrho - 1) + mrho)
-    F_i, dF_i = _spline_from_rows(Frows, dxr, drho)
+    (F_nodes,) = _node_lookup(mrho, (ti_all,), F_W, F_flat, nrho - 1, use_mxu)
+    F_i, dF_i = _hermite(F_nodes, dxr, drho)
     # LAMMPS linearly extrapolates F beyond the table (pair_eam.cpp:
     # "if (rho > rhomax) phi += fp * (rho - rhomax)")
     rho_max = (nrho - 1) * drho
     F_i = jnp.where(rho_i > rho_max, F_i + dF_i * (rho_i - rho_max), F_i)
-    dF_b = pad_rows(dF_i, 0.0)
+    dF_pad = jnp.pad(dF_i, (0, npad - n)).reshape(nblk, block)
 
-    # ---- pass 2: pair energies + own-row pair gradient J ---------------
-    def pair_block(args):
-        pos_blk, vb, dFb, tib = args
-        disp, d0, okb, tjb, m, dx = pair_geom((pos_blk, vb))
-        zrows = _spline_rows(z2r_pack, (tib[:, None] * nt + tjb) * (nr - 1) + m)
-        z2, dz2 = _spline_from_rows(zrows, dx, dr)
-        rrows = _spline_rows(rho_pack, tjb * (nr - 1) + m)
-        _, drho_j = _spline_from_rows(rrows, dx, dr)
-        rsafe = jnp.where(okb, d0, 1.0)
-        rinv = 1.0 / rsafe
-        phi = z2 * rinv
-        dphi = (dz2 - phi) * rinv
-        e_pair = jnp.sum(jnp.where(okb, 0.5 * phi, 0.0), axis=1)
-        # dE_i/ddisp: the 0.5*phi pair half + atom i's own embedding chain
-        gmag = (0.5 * dphi + dFb[:, None] * drho_j) * rinv
-        Jb = jnp.where(okb[..., None], gmag[..., None] * disp, 0.0)
-        return e_pair, Jb, jnp.where(okb[..., None], disp, 0.0), okb
+    # ---- pass 2: close the dF chain; forces + virials -------------------
+    def force_blk(args):
+        vb, dFb, ddx, ddy, ddz, w0, wj, wi = args
+        dFj = dF_i[jnp.maximum(vb, 0)]           # the one scalar gather
+        w = w0 + dFb[:, None] * wj + dFj * wi
+        wx, wy, wz = w * ddx, w * ddy, w * ddz
+        force = (wx.sum(1), wy.sum(1), wz.sum(1))
+        comps = ((ddx, wx), (ddx, wy), (ddx, wz),
+                 (ddy, wx), (ddy, wy), (ddy, wz),
+                 (ddz, wx), (ddz, wy), (ddz, wz))
+        virial = tuple(-0.5 * (a * b).sum(1) for a, b in comps)
+        return force, virial
 
-    e_pair, J, disp, okd = jax.lax.map(
-        pair_block, (pos_b, verlet_b, dF_b, types_b)
+    force_c, virial_c = jax.lax.map(
+        force_blk, (verlet_b, dF_pad) + staged
     )
-    e_pair = e_pair.reshape(npad)[:n]
-    J = J.reshape(npad, M, 3)[:n]
-    disp = disp.reshape(npad, M, 3)[:n]
-    okd = okd.reshape(npad, M)[:n]
-
-    from .pairops import pair_forces_virials
-
-    force, virial, _ = pair_forces_virials(disp, J, verlet, rev, okd)
+    force = jnp.stack([c.reshape(npad)[:n] for c in force_c], axis=-1)
+    virial = jnp.stack([c.reshape(npad)[:n] for c in virial_c], axis=-1)
     return F_i + e_pair, force, virial
 
 

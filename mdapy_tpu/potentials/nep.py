@@ -303,19 +303,16 @@ class NEP(CalculatorMP):
             *consts, self._static(),
             _pick_block(pos_d.shape[0], verlet_d.shape[1]),
         )
-        energies = np.asarray(e)
-        forces = np.asarray(F)
-        virials = np.asarray(V)
-        dEdeps = np.asarray(dEdeps)
         vol = abs(box.volume)
-        # stress = (dE/deps)/V symmetrized, Voigt [xx,yy,zz,yz,xz,xy]
+        # stress = (dE/deps)/V symmetrized, Voigt [xx,yy,zz,yz,xz,xy];
+        # results stay device-resident (CalculatorMP._fetch materializes)
         sig = 0.5 * (dEdeps + dEdeps.T) / vol
-        stress = sig.ravel()[[0, 4, 8, 5, 2, 1]]
-        self.results["energies"] = energies[:old_n]
-        self.results["forces"] = forces[:old_n]
+        stress = sig.ravel()[jnp.array([0, 4, 8, 5, 2, 1])]
+        self.results["energies"] = e[:old_n]
+        self.results["forces"] = F[:old_n]
         self.results["stress"] = stress
         # exact per-atom virials (half-pair convention, sums to -dE/deps)
-        self.results["virials"] = virials[:old_n]
+        self.results["virials"] = V[:old_n]
 
     def _calculate_qnep(self, system) -> None:
         """Energies/forces/virials + charges/BEC for nep4_charge* models
@@ -445,13 +442,14 @@ def _chebyshev_basis(d, rc, kmax: int):
     return (fn + 1.0) * 0.5 * fc[..., None]
 
 
-def _angular_s(disp, d, gn, L_max: int):
+def _angular_s(dispc, d, gn, L_max: int):
     """Accumulated s components per atom: list over L of (n, 2L+1) blocks.
 
-    disp: (n, M, 3); d: (n, M); gn: (n, M) radial factor for this n-channel."""
+    dispc: 3-tuple of (n, M) displacement components (kept unstacked — a
+    stacked (n, M, 3) tensor pads its minor dim to 128 lanes on TPU);
+    d: (n, M); gn: (n, M) radial factor for this n-channel."""
     dsafe = jnp.maximum(d, 1e-30)
-    u = disp / dsafe[..., None]
-    x, y, z = u[..., 0], u[..., 1], u[..., 2]
+    x, y, z = (c / dsafe for c in dispc)
     out = []
     for L in range(1, L_max + 1):
         zc = Z_COEFF[L]
@@ -511,19 +509,21 @@ def _pick_block(n: int, M: int) -> int:
     return max(128, min(b, 8192))
 
 
-def _block_q(disp, ti, tj, ok, c_radial, c_angular, st: _NEPStatic):
+def _block_q(dispc, ti, tj, ok, c_radial, c_angular, st: _NEPStatic):
     """NEP descriptor q for one row block — dense, gather-free type mixing.
 
-    disp (B,M,3) min-imaged with safe-padded slots; ti (B,) int; tj (B,M)
-    int; ok (B,M) valid mask.  The per-pair c[., ., ti, tj] table gather of
-    the naive formulation (a (nmax+1, k, B, M) strided gather — the round-1
-    TPU bottleneck) is replaced by per-type partial sums (radial) and a
-    one-hot contraction over the compacted type set (angular).
+    dispc: 3-tuple of (B,M) min-imaged displacement components with
+    safe-padded slots; ti (B,) int; tj (B,M) int; ok (B,M) valid mask.
+    The per-pair c[., ., ti, tj] table gather of the naive formulation
+    (a (nmax+1, k, B, M) strided gather — the round-1 TPU bottleneck) is
+    replaced by per-type partial sums (radial) and a one-hot contraction
+    over the compacted type set (angular).
     Returns (q (B, dim), d (B, M)).
     """
-    d = jnp.linalg.norm(disp, axis=-1)
+    dx, dy, dz = dispc
+    d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     nt = c_radial.shape[-1]
-    ohj = jax.nn.one_hot(tj, nt, dtype=disp.dtype)            # (B,M,t)
+    ohj = jax.nn.one_hot(tj, nt, dtype=d.dtype)               # (B,M,t)
 
     okr = ok & (d < st.rc_radial)
     # keep the pair axis M minor everywhere: a trailing (nmax+1, ka+1) pair
@@ -548,7 +548,7 @@ def _block_q(disp, ti, tj, ok, c_radial, c_angular, st: _NEPStatic):
     q_ang = []
     for na in range(st.nmax_a + 1):
         gna = jnp.where(oka, gn_a[:, na, :], 0.0)
-        s_blocks = _angular_s(disp, d, gna, st.L_max)
+        s_blocks = _angular_s(dispc, d, gna, st.L_max)
         q_ang.append(_q_from_s(s_blocks, st.L_max, st.L4, st.L5))
     # layout: q[dim_radial + l * (nmax_a+1) + n] (find_q indexing)
     q_ang = jnp.stack(q_ang, axis=1)                          # (B, na+1, num_L)
@@ -556,11 +556,11 @@ def _block_q(disp, ti, tj, ok, c_radial, c_angular, st: _NEPStatic):
     return jnp.concatenate([q_radial, q_ang], axis=1), d
 
 
-def _zbl_energy_oh(disp, d, ok, ti, ohj, atomic_numbers, st: _NEPStatic):
+def _zbl_energy_oh(d, ok, ti, ohj, atomic_numbers, st: _NEPStatic):
     """ZBL channel with the neighbor atomic number taken through the one-hot
     (identical values to _zbl_energy, no per-pair int gather)."""
     zi = atomic_numbers[ti] + 1                               # (B,)
-    zj = ohj @ (atomic_numbers + 1).astype(disp.dtype)        # (B,M)
+    zj = ohj @ (atomic_numbers + 1).astype(d.dtype)           # (B,M)
     okz = ok & (d < st.zbl_outer) & (d > 1e-6)
     a_inv = (zi[:, None] ** 0.23 + zj**0.23) * 2.134563
     zizj = K_C_SP * zi[:, None] * zj
@@ -581,14 +581,14 @@ def _zbl_energy_oh(disp, d, ok, ti, ohj, atomic_numbers, st: _NEPStatic):
     return jnp.sum(jnp.where(okz, 0.5 * f * fc, 0.0), axis=1)
 
 
-def _block_e(disp, ti, tj, ok, c_radial, c_angular, w0, b0, w1, b1,
+def _block_e(dispc, ti, tj, ok, c_radial, c_angular, w0, b0, w1, b1,
              q_scaler, atomic_numbers, st: _NEPStatic):
-    q, d = _block_q(disp, ti, tj, ok, c_radial, c_angular, st)
+    q, d = _block_q(dispc, ti, tj, ok, c_radial, c_angular, st)
     e, _ = _ann_energy(q * q_scaler[None], ti, w0, b0, w1, b1)
     if st.zbl:
         nt = c_radial.shape[-1]
-        ohj = jax.nn.one_hot(tj, nt, dtype=disp.dtype)
-        e = e + _zbl_energy_oh(disp, d, ok, ti, ohj, atomic_numbers, st)
+        ohj = jax.nn.one_hot(tj, nt, dtype=d.dtype)
+        e = e + _zbl_energy_oh(d, ok, ti, ohj, atomic_numbers, st)
     return e
 
 
@@ -598,8 +598,8 @@ def _gather_disp(pos, types, verlet, matrix, inv, boundary):
     Gather outputs keep the (N, M) pair axis minor — a packed (N*M, 4) row
     gather picks a T(8,128) layout that pads the 4-wide minor dim to 128
     (32x HBM expansion, the round-2 256k OOM).  Four (N, M) scalar gathers
-    tile cleanly.  Returns (disp (N,M,3) min-imaged safe-padded,
-    tj (N,M) int32, ok (N,M))."""
+    tile cleanly.  Returns ((dx, dy, dz) component tuple of (N,M) min-imaged
+    safe-padded arrays, tj (N,M) int32, ok (N,M))."""
     ok = verlet >= 0
     j = jnp.maximum(verlet, 0)
     cx = pos[:, 0][j] - pos[:, 0, None]                        # (N,M)
@@ -618,8 +618,7 @@ def _gather_disp(pos, types, verlet, matrix, inv, boundary):
     dx = jnp.where(ok, dx, 1.0)
     dy = jnp.where(ok, dy, 0.0)
     dz = jnp.where(ok, dz, 0.0)
-    disp = jnp.stack([dx, dy, dz], axis=-1)
-    return disp, tj, ok
+    return (dx, dy, dz), tj, ok
 
 
 def _map_blocks(fn, arrays, n: int, block: int, pad_values):
@@ -660,18 +659,20 @@ def _nep_force_fast(pos, types, verlet, rev, matrix, inv, boundary,
         """Per-block (energies, pair gradient) — the energy of a row block
         depends only on that block's displacement rows, so value_and_grad
         stays block-local and lax.map never stacks cross-block residuals."""
-        disp_b, t_b, tj_b, ok_b = args
+        ddx, ddy, ddz, t_b, tj_b, ok_b = args
 
-        def f(d_):
-            e = _block_e(d_, t_b, tj_b, ok_b, c_radial, c_angular,
+        def f(dc):
+            e = _block_e(dc, t_b, tj_b, ok_b, c_radial, c_angular,
                          w0, b0, w1, b1, q_scaler, atomic_numbers, st)
             return jnp.sum(e), e
 
-        (_, e), Jb = jax.value_and_grad(f, has_aux=True)(disp_b)
-        return e, Jb
+        (_, e), Jc = jax.value_and_grad(f, has_aux=True)((ddx, ddy, ddz))
+        return e, Jc
 
-    e_atoms, J = _map_blocks(eb, (disp0, types, tj, ok), n, block,
-                             (0.0, 0, 0, False))
+    e_atoms, J = _map_blocks(
+        eb, disp0 + (types, tj, ok), n, block,
+        (1.0, 0.0, 0.0, 0, 0, False),
+    )
     from .pairops import pair_forces_virials
 
     F, V, dEdeps = pair_forces_virials(disp0, J, verlet, rev, ok)
@@ -687,16 +688,17 @@ def _nep_descriptor_fast(pos, types, verlet, matrix, inv, boundary,
     disp0, tj, ok = _gather_disp(pos, types, verlet, matrix, inv, boundary)
 
     def qb(args):
-        disp_b, t_b, tj_b, ok_b = args
-        q, _ = _block_q(disp_b, t_b, tj_b, ok_b, c_radial, c_angular, st)
+        ddx, ddy, ddz, t_b, tj_b, ok_b = args
+        q, _ = _block_q((ddx, ddy, ddz), t_b, tj_b, ok_b,
+                        c_radial, c_angular, st)
         qs = q * q_scaler[None]
         if not latent:
             return qs
         _, h = _ann_energy(qs, t_b, w0, b0, w1, b1)
         return w1[t_b] * h
 
-    return _map_blocks(qb, (disp0, types, tj, ok), n, block,
-                       (0.0, 0, 0, False))
+    return _map_blocks(qb, disp0 + (types, tj, ok), n, block,
+                       (1.0, 0.0, 0.0, 0, 0, False))
 
 
 def _zbl_energy(disp, d, ok, ti, tj, atomic_numbers, st: _NEPStatic):
@@ -753,10 +755,11 @@ def _descriptor_from_disp(disp, ok, ti, tj, c_radial, c_angular, st: _NEPStatic)
     fn_a = _chebyshev_basis(d, st.rc_angular, st.basis_a)
     ca = c_angular[:, :, ti, tj]
     gn_a = jnp.einsum("nkim,imk->nim", ca, fn_a)
+    dispc = tuple(disp[..., c] for c in range(3))
     q_ang = []
     for na in range(st.nmax_a + 1):
         gna = jnp.where(oka, gn_a[na], 0.0)
-        s_blocks = _angular_s(disp, d, gna, st.L_max)
+        s_blocks = _angular_s(dispc, d, gna, st.L_max)
         q_ang.append(_q_from_s(s_blocks, st.L_max, st.L4, st.L5))
     q_ang = jnp.stack(q_ang, axis=1)
     q_ang = jnp.swapaxes(q_ang, 1, 2).reshape(n, -1)

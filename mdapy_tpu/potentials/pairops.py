@@ -107,22 +107,36 @@ def reverse_permutation_device(verlet, block: int = 1024):
 def pair_forces_virials(disp, J, verlet, rev, ok):
     """Assemble (forces (N,3), per-atom virials (N,9), dE/deps (3,3)).
 
-    disp, J: (N, M, 3); verlet, rev: (N, M) int32; ok: (N, M) bool.
+    disp, J: 3-tuples of (N, M) component arrays — the whole pipeline keeps
+    x/y/z separated because any (N, M, 3) tensor pads its 3-wide minor dim
+    to 128 lanes on TPU (a ~42x HBM blowup that made this assembly — and
+    every producer feeding it — run at seconds instead of milliseconds).
+    Stacked (N, M, 3) inputs are accepted and unstacked for CPU callers.
+    verlet, rev: (N, M) int32; ok: (N, M) bool.
     All ops are dense gathers/reductions (TPU-friendly).
     """
     import jax.numpy as jnp
 
-    jidx = jnp.maximum(verlet, 0)
-    Jm = jnp.where(ok[..., None], J, 0.0)
-    # reverse-pair gradient rows: Jrev[i, m] = J[j, rev[i, m]] — gathered
-    # per component so the (N, M) output tiles cleanly (a (N,M,3) gather
-    # output pads its 3-wide minor dim to 128 on TPU)
-    Jrev = jnp.stack([Jm[..., c][jidx, rev] for c in range(3)], axis=-1)
-    Jrev = jnp.where(ok[..., None], Jrev, 0.0)
-    force = jnp.sum(Jm, axis=1) - jnp.sum(Jrev, axis=1)
-    dispm = jnp.where(ok[..., None], disp, 0.0)
+    if not isinstance(disp, (tuple, list)):
+        disp = tuple(disp[..., c] for c in range(3))
+    if not isinstance(J, (tuple, list)):
+        J = tuple(J[..., c] for c in range(3))
+    M = verlet.shape[1]
+    # reverse-pair gradient rows: Jrev[i, m] = J[j, rev[i, m]], as one flat
+    # 1-D gather per component
+    flat = jnp.maximum(verlet, 0) * M + rev
+    Jm = tuple(jnp.where(ok, c, 0.0) for c in J)
+    Jrev = tuple(jnp.where(ok, c.ravel()[flat], 0.0) for c in Jm)
     # force contribution to atom i from pair (i,m): f_im = J_im - Jrev_im
-    pairf = Jm - Jrev
-    v = -0.5 * jnp.einsum("ima,imb->iab", dispm, pairf)
-    dEdeps = jnp.einsum("ima,imb->ab", dispm, Jm)
-    return force, v.reshape(v.shape[0], 9), dEdeps
+    pairf = tuple(a - b for a, b in zip(Jm, Jrev))
+    force = jnp.stack([c.sum(axis=1) for c in pairf], axis=-1)
+    dm = tuple(jnp.where(ok, c, 0.0) for c in disp)
+    v = jnp.stack(
+        [-0.5 * (dm[a] * pairf[b]).sum(axis=1)
+         for a in range(3) for b in range(3)],
+        axis=-1,
+    )
+    dEdeps = jnp.stack(
+        [(dm[a] * Jm[b]).sum() for a in range(3) for b in range(3)]
+    ).reshape(3, 3)
+    return force, v, dEdeps
