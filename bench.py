@@ -21,6 +21,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def dsync(x):
+    """Real device sync. jax.block_until_ready is a NO-OP on the tunneled
+    axon backend (verified: a 50s matmul chain 'completes' in 0.4ms), so the
+    only honest fence is fetching a device scalar derived from the value."""
+    import jax.numpy as jnp
+
+    if isinstance(x, (list, tuple)):
+        for v in x:
+            dsync(v)
+        return x
+    float(jnp.max(x.astype(jnp.float32) if x.dtype != jnp.float32 else x))
+    return x
+
+
 def build_scene(n_cells: int):
     a = 3.615
     frac = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
@@ -200,7 +214,7 @@ def bench_config3():
     assert img.shape == (H, W, 4) and img[..., :3].std() > 1
     out = ren.render(pos, colors, radii, camera=cam, width=W, height=H,
                      device_output=True)
-    jax.block_until_ready(out)
+    dsync(out)
     nframes = 5
     t0 = time.time()
     outs = [
@@ -208,7 +222,7 @@ def bench_config3():
                    device_output=True)
         for _ in range(nframes)
     ]
-    jax.block_until_ready(outs)
+    dsync(outs)
     dt = (time.time() - t0) / nframes
     S = AA + 1
     rays = W * H * S * (2 + K)
@@ -267,7 +281,7 @@ def main():
     # the chip busy), one sync at the end — the serving-pipeline shape
     out = ren.render(pos, colors, radii, camera=cam, width=width,
                      height=height, device_output=True)
-    _jax.block_until_ready(out)
+    dsync(out)
     nframes = 10
     t0 = time.time()
     outs = [
@@ -275,7 +289,7 @@ def main():
                    height=height, device_output=True)
         for _ in range(nframes)
     ]
-    _jax.block_until_ready(outs)
+    dsync(outs)
     dt = (time.time() - t0) / nframes
     samples = 13  # 12 AA + 1
     rays = width * height * samples * 2  # primary + shadow per sample

@@ -85,6 +85,44 @@ class MDElasticResult:
         print(f"  C11 = {c11:.2f}  C12 = {c12:.2f}  C44 = {c44:.2f} GPa")
 
 
+def assemble_elastic_tensor(stress_plus: np.ndarray,
+                            stress_minus: np.ndarray,
+                            delta: float) -> np.ndarray:
+    """C_ij from central-difference deformation stresses.
+
+    stress_plus/minus: (6, 6) arrays, row d = Voigt stress (GPa) of the
+    +delta / -delta deformation along Voigt direction d.  Returns the
+    symmetrized 6x6 stiffness (GPa).  Separated from the LAMMPS driver so
+    the assembly math is testable without a LAMMPS build."""
+    C = np.zeros((6, 6))
+    for d in range(6):
+        C[:, d] = -(stress_plus[d] - stress_minus[d]) / (2.0 * delta)
+    return 0.5 * (C + C.T)
+
+
+def fanout(fn, jobs, n_workers: int):
+    """Run fn over jobs, either inline or on a fork process pool.
+
+    The reference farms its deformation runs to multiprocessing workers
+    (reference md_elastic.py:157-450); each job here spawns its own LAMMPS
+    instance from a restart file, so processes (not threads) are required."""
+    if n_workers <= 1 or len(jobs) <= 1:
+        return [fn(j) for j in jobs]
+    import multiprocessing as mp_
+
+    ctx = mp_.get_context("fork")
+    with ctx.Pool(min(n_workers, len(jobs))) as pool:
+        return pool.map(fn, jobs)
+
+
+def _segment_worker(args):
+    """Module-level (picklable) deformation-segment job for fanout()."""
+    cfg, restart, d, sign, L0 = args
+    stub = MDElastic.__new__(MDElastic)
+    stub.__dict__.update(cfg)
+    return stub._deform_segment(restart, d, sign, np.asarray(L0))
+
+
 class MDElastic:
     """Finite-T elastic constants of a System with a LAMMPS pair style."""
 
@@ -105,6 +143,7 @@ class MDElastic:
         timestep: float = 0.001,
         seed: int = 12345,
         quiet: bool = True,
+        n_workers: int = 1,
     ):
         _require_lammps()
         if ensemble not in ("isothermal", "adiabatic"):
@@ -128,6 +167,7 @@ class MDElastic:
         self.timestep = float(timestep)
         self.seed = int(seed)
         self.quiet = quiet
+        self.n_workers = int(n_workers)
 
     # ------------------------------------------------------------- helpers
     def _new_lammps(self):
@@ -220,16 +260,15 @@ class MDElastic:
             with silence(self.quiet):
                 lmp.close()
 
-            # deformation segments
+            # 12 deformation segments, fanned out over n_workers processes
             L0 = np.array(boxhi) - np.array(boxlo)
-            C = np.zeros((6, 6))
-            for d in range(6):
-                s_pm = []
-                for sign in (+1, -1):
-                    s_pm.append(self._deform_segment(restart, d, sign, L0))
-                for i in range(6):
-                    C[i, d] = -(s_pm[0][i] - s_pm[1][i]) / (2 * self.delta)
-            C = 0.5 * (C + C.T)
+            cfg = self._segment_cfg()
+            jobs = [(cfg, restart, d, sign, L0)
+                    for d in range(6) for sign in (+1, -1)]
+            stresses = fanout(_segment_worker, jobs, self.n_workers)
+            s_plus = np.array(stresses[0::2])
+            s_minus = np.array(stresses[1::2])
+            C = assemble_elastic_tensor(s_plus, s_minus, self.delta)
             return MDElasticResult(C, stress_ref, V_eq, T_actual,
                                    self.temperature, self.ensemble)
         finally:
@@ -237,6 +276,16 @@ class MDElastic:
                 os.remove(restart)
             except OSError:
                 pass
+
+    def _segment_cfg(self) -> dict:
+        """Scalar-only config for the picklable segment worker (no System,
+        no device arrays cross the process boundary)."""
+        return dict(
+            pair_style=self.pair_style, pair_coeff=self.pair_coeff,
+            temperature=self.temperature, timestep=self.timestep,
+            delta=self.delta, ensemble=self.ensemble,
+            n_equil=self.n_equil, n_run=self.n_run, quiet=self.quiet,
+        )
 
     def _deform_segment(self, restart: str, d: int, sign: int,
                         L0: np.ndarray) -> np.ndarray:

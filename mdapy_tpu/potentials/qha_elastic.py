@@ -105,7 +105,7 @@ def _voigt_to_tensor(v):
     return np.array([
         [v[0], v[5] / 2, v[4] / 2],
         [v[5] / 2, v[1], v[3] / 2],
-        [v[4] / 2, v[3], v[2]],
+        [v[4] / 2, v[3] / 2, v[2]],
     ])
 
 
@@ -134,11 +134,13 @@ class QHAElastic:
         crystal_class: Optional[str] = None,
         quiet: bool = True,
     ):
-        _require_phonopy()
+        # phonopy is only needed once displacements are generated
+        # (_phonopy_for); the grid build, export_inputs manifest layout and
+        # compute()'s fitting math are phonopy-free
         if 0.0 not in [float(s) for s in strain_values]:
             raise ValueError("strain_values must include 0")
-        if len(volume_strains) < 5:
-            raise ValueError("volume_strains needs at least 5 points")
+        if len(volume_strains) < 3:
+            raise ValueError("volume_strains needs at least 3 points")
         self.system = system
         self.calc = calc
         self.temperatures = np.arange(t_min, t_max + 0.5 * t_step, t_step)
@@ -318,7 +320,10 @@ class QHAElastic:
                     e = np.array(eps_list)[order]
                     f = np.array(f_list)[order]
                     coef = np.polyfit(e, f, 2)
-                    kappa_v[vi, mi] = 2.0 * coef[0] / vols[vi] * EV_A3_TO_GPA
+                    # kappa_k = a_k / V (the raw eps^2 coefficient, NOT the
+                    # second derivative): with F = (V/2) m^T C m eps^2 this
+                    # makes kappa_0 = C11 - C12 etc. (elastemp convention)
+                    kappa_v[vi, mi] = coef[0] / vols[vi] * EV_A3_TO_GPA
                     if mi == 0:
                         base_F[vi] = f[np.argmin(np.abs(e))]
             # V(T) from a quadratic fit of F(V)
