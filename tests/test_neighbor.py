@@ -187,3 +187,50 @@ def test_create_bonds_scalar_and_pairwise_and_element():
     s3 = mp.System(data=edata, box=Box([10.0, 10.0, 10.0], boundary=[0, 0, 0]))
     bond = s3.create_bonds({("Cu", "Cu"): 0.5, ("Cu", "Zr"): 1.1, ("Zr", "Zr"): 1.2})
     np.testing.assert_array_equal(bond, [[0, 1]])
+
+
+def test_knn_pathological_aspect_ratio_box():
+    """Stress the density-seeded knn radius (knn.py: 1.45x margin) on an
+    extreme slab: dense in-plane, one thin axis, strongly non-uniform."""
+    rng = np.random.default_rng(11)
+    m = np.array([[60.0, 0, 0], [0, 60.0, 0], [0, 0, 2.2]])
+    n = 500
+    pos = rng.uniform(0, 1, (n, 3)) @ m
+    # clump half the atoms to break the uniform-density assumption
+    pos[: n // 2, :2] *= 0.15
+    box = Box(m, (1, 1, 1))
+    k = 12
+    idx, dist = knn_search(pos, box, k)
+    ref = brute_force_neighbors(pos, box, 8.0)
+    for i in range(n):
+        want = [d for d, _ in ref[i][:k]]
+        assert len(want) == k, "brute-force rc too small for this check"
+        np.testing.assert_allclose(dist[i], want, atol=1e-6)
+
+
+def test_knn_needle_box():
+    """Needle cell (one long axis, two short periodic axes): the knn search
+    must escalate its radius past many periodic images without error."""
+    rng = np.random.default_rng(12)
+    m = np.diag([3.1, 3.3, 90.0])
+    n = 160
+    pos = rng.uniform(0, 1, (n, 3)) @ m
+    box = Box(m, (1, 1, 1))
+    k = 10
+    idx, dist = knn_search(pos, box, k)
+    ref = brute_force_neighbors(pos, box, 9.0)
+    for i in range(n):
+        want = [d for d, _ in ref[i][:k]]
+        assert len(want) == k
+        np.testing.assert_allclose(dist[i], want, atol=1e-6)
+
+
+def test_ptm_thin_slab_replication():
+    """PTM's unconditional rc=7.5 replication (analysis/ptm.py) must stay
+    correct for a 1-cell-thick periodic slab: perfect FCC everywhere."""
+    import mdapy_tpu as mp
+
+    s = mp.build_crystal("Cu", "fcc", 3.615, nx=6, ny=6, nz=1)
+    s.cal_polyhedral_template_matching()
+    ptm = np.asarray(s.data["ptm"])
+    assert (ptm == 1).all()  # every atom classified FCC
