@@ -114,3 +114,52 @@ def test_sharded_rejects_bad_height():
     frame = camera_frame(cam, 32, 30)
     with pytest.raises(ValueError):
         render_image_sharded(scene, frame, CFG, 32, 30, mesh)
+
+
+# --------------------------------------------------- hierarchical (2,4) mesh
+def test_hier_mesh_train_step_matches_flat_mesh():
+    """psum over cores (ICI) then hosts (DCN) must equal the flat 1-D
+    pmean, and remat chunking must not change loss or gradients."""
+    from mdapy_tpu.render.multihost import make_hier_mesh, render_train_step_hier
+
+    scene, cam = _scene(2)
+    W = H = 32
+    frame = camera_frame(cam, W, H)
+    rng = np.random.default_rng(3)
+    target = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+
+    mesh1 = make_mesh(8)
+    loss1, grads1 = render_train_step(
+        scene, frame, target, CFG, W, H, mesh1, chunk=W * H // 8
+    )
+
+    mesh2 = make_hier_mesh(2, 4)
+    loss2, grads2 = render_train_step_hier(
+        scene, frame, target, CFG, W, H, mesh2, chunk=W * H // 8,
+        remat_chunks=1,
+    )
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    for g1, g2 in zip(grads1, grads2):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+    loss3, grads3 = render_train_step_hier(
+        scene, frame, target, CFG, W, H, mesh2, chunk=W * H // 8,
+        remat_chunks=2,
+    )
+    np.testing.assert_allclose(float(loss2), float(loss3), rtol=1e-6)
+    for g2, g3 in zip(grads2, grads3):
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g3), atol=1e-6)
+
+
+def test_hier_mesh_requires_enough_devices():
+    from mdapy_tpu.render.multihost import make_hier_mesh
+
+    with pytest.raises(ValueError):
+        make_hier_mesh(4, 8)  # 32 devices on an 8-device host
+
+
+def test_init_distributed_single_process_noop():
+    from mdapy_tpu.render.multihost import init_distributed
+
+    idx, cnt = init_distributed()
+    assert idx == 0 and cnt == 1

@@ -1,0 +1,70 @@
+"""Honest per-phase timing of the AO megakernel (config3-like scene).
+
+block_until_ready is a no-op on the tunneled axon backend; every timing
+fetches a device scalar.  Phases (static recompile each):
+  2 = raygen + sphere closest-hit traversal
+  3 = + cyl/ring pass (no-op for sphere-only scenes)
+  4 = + shade prep + per-light diffuse (no shadow sweeps)
+  5 = full: + per-light CSR shadow sweeps (1 primary + K AO lights)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import mdapy_tpu as mp
+from mdapy_tpu.render import megakernel as MK
+
+n_cells = int(os.environ.get("BENCH_CELLS", "63"))
+a = 3.615
+frac = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+cells = np.mgrid[0:n_cells, 0:n_cells, 0:n_cells].reshape(3, -1).T
+pos = (frac[None] + cells[:, None]).reshape(-1, 3) * a
+colors = np.tile(np.array([[0.78, 0.5, 0.2, 1.0]], np.float32), (len(pos), 1))
+radii = np.full(len(pos), 1.28, np.float32)
+cam = mp.preset_camera("perspective", pos, max_radius=1.28)
+W, H, AA, K = 1920, 1080, 2, 12
+
+orig = MK.render_image_mega
+PH = [5]
+
+
+def patched(*args, **kw):
+    kw["debug_phases"] = PH[0]
+    return orig(*args, **kw)
+
+
+MK.render_image_mega = patched
+
+ren = mp.TachyonRender(backend="tpu", ao=True, ao_samples=K, aa_samples=AA,
+                       background=(1.0, 1.0, 1.0))
+
+
+def frame_time(reps=3):
+    out = ren.render(pos, colors, radii, camera=cam, width=W, height=H,
+                     device_output=True)
+    float(jnp.max(out.astype(jnp.float32)))
+    best = 1e30
+    for _ in range(reps):
+        t0 = time.time()
+        out = ren.render(pos, colors, radii, camera=cam, width=W, height=H,
+                         device_output=True)
+        float(jnp.max(out.astype(jnp.float32)))
+        best = min(best, time.time() - t0)
+    return best
+
+
+for ph in (2, 4, 5):
+    PH[0] = ph
+    t0 = time.time()
+    dt = frame_time()
+    print(f"phase<={ph}: {dt*1000:.1f} ms/frame   (incl-compile first call "
+          f"{time.time()-t0:.0f}s)", flush=True)
