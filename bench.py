@@ -166,6 +166,32 @@ def bench_potentials():
     except Exception:
         pass
 
+    # Voronoi tessellation, 1M atoms: our native grid-walk engine vs the
+    # compiled reference voro++ kernel (2 threads each)
+    try:
+        import json as _json
+        import subprocess
+
+        from mdapy_tpu.analysis.voronoi import VoronoiAnalysis
+
+        s1m = mp.build_crystal("Cu", "fcc", 3.615, nx=63, ny=63, nz=63)
+        t0 = time.time()
+        VoronoiAnalysis(s1m.pos, s1m.box).compute()
+        out["voronoi_1M_s"] = round(time.time() - t0, 3)
+        here = os.path.dirname(os.path.abspath(__file__))
+        vbin = "/tmp/voro_bench"
+        if not os.path.exists(vbin):
+            subprocess.run(
+                ["sh", os.path.join(here, "tools", "voro_baseline", "build.sh"), vbin],
+                check=True, capture_output=True, timeout=600,
+            )
+        r = subprocess.run([vbin, "63", "2", "2"], capture_output=True,
+                           text=True, timeout=900)
+        ref = _json.loads(r.stdout.strip().splitlines()[-1])
+        out["voronoi_ref_1M_s"] = round(ref["seconds"], 3)
+    except Exception:
+        pass
+
     # neighbor build, device-resident, 1M atoms (scalar-fetch synced)
     from mdapy_tpu.neighbor.neighbor import neighbor_search_device
 

@@ -78,37 +78,41 @@ class VoronoiAnalysis:
         return cart, allids
 
     def _engine_run(self, max_nei: int = 64):
-        """Run the native clipping engine (native/voro_engine.cpp) with
-        automatic search-radius escalation (voro++'s growing block search,
-        reference voronoi.cpp:45-60 / v_compute_3d.cc).
+        """Run the native clipping engine (native/voro_engine.cpp).
+
+        The engine builds its own fractional-space cell grid and walks
+        candidate cells outward with the security-radius termination
+        (image-aware — no Python-side neighbor list or replication), the
+        voro++ growing-block-search idea (reference voronoi.cpp:45-60 /
+        v_compute_3d.cc) re-designed around the face-loop clipping cell.
+        ``max_ring`` escalates for atoms whose walk was exhausted unclosed
+        (sparse/void-heavy systems).
 
         Returns (volume, cavity, nface, nei_idx, nei_area, nei_dist) for the
-        original atoms; neighbor indices map back to original ids."""
+        original atoms; neighbor indices are original ids."""
         import ctypes
 
         from ..native import load_library
-        from ..neighbor.neighbor import neighbor_search, replicate_for_small_box
 
         lib = load_library("voro_engine")
-        fn = lib.voro_compute
+        fn = lib.voro_compute_grid
         fn.restype = None
 
         n = len(self.pos)
         box = self.box
-        vol_per = abs(box.volume) / max(n, 1)
-        rc = 2.4 * vol_per ** (1.0 / 3.0)
         diam = float(np.linalg.norm(box.matrix.sum(axis=0)))
         walls = self._walls()
         wall_rows = (
             np.array([[w[0][0], w[0][1], w[0][2], w[1]] for w in walls])
             if walls else np.zeros((0, 4))
         )
-        for attempt in range(6):
-            # replicate first so candidate indices stay unique per image
-            pos_c, box_c, n_images = replicate_for_small_box(self.pos, box, rc)
-            verlet, dist, cnt = neighbor_search(pos_c, box_c, rc)
-            n_total = len(pos_c)
-            M = verlet.shape[1]
+        # start the seed cube at a few typical spacings — tiny polygons make
+        # the early clips cheap; any atom whose cell still touches the cube
+        # raises its flag and the loop escalates both cube and ring
+        vol_per = abs(box.volume) / max(n, 1)
+        h0 = min(4.0 * vol_per ** (1.0 / 3.0), 1.05 * diam)
+        pos64 = np.ascontiguousarray(self.pos, np.float64)
+        for max_ring in (3, 6, 12, 24, 48, 96):
             volume = np.zeros(n)
             cavity = np.zeros(n)
             nface = np.zeros(n, np.int32)
@@ -116,18 +120,16 @@ class VoronoiAnalysis:
             nei_idx = np.full((n, max_nei), -1, np.int32)
             nei_area = np.zeros((n, max_nei))
             nei_dist = np.zeros((n, max_nei))
-            h0 = 1.05 * diam
-            pos64 = np.ascontiguousarray(pos_c, np.float64)
-            v32 = np.ascontiguousarray(verlet, np.int32)
             fn(
                 pos64.ctypes.data_as(ctypes.c_void_p),
-                ctypes.c_int64(n_total), ctypes.c_int64(n),
-                v32.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(M),
-                np.ascontiguousarray(box_c.matrix).ctypes.data_as(ctypes.c_void_p),
-                np.ascontiguousarray(box_c.inverse_box).ctypes.data_as(ctypes.c_void_p),
-                np.ascontiguousarray(box_c.boundary, np.int32).ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int64(n),
+                np.ascontiguousarray(box.matrix).ctypes.data_as(ctypes.c_void_p),
+                np.ascontiguousarray(box.inverse_box).ctypes.data_as(ctypes.c_void_p),
+                np.ascontiguousarray(box.origin).ctypes.data_as(ctypes.c_void_p),
+                np.ascontiguousarray(box.boundary, np.int32).ctypes.data_as(ctypes.c_void_p),
                 np.ascontiguousarray(wall_rows).ctypes.data_as(ctypes.c_void_p),
                 ctypes.c_int64(len(wall_rows)), ctypes.c_double(h0),
+                ctypes.c_int32(max_ring),
                 volume.ctypes.data_as(ctypes.c_void_p),
                 cavity.ctypes.data_as(ctypes.c_void_p),
                 nface.ctypes.data_as(ctypes.c_void_p),
@@ -138,10 +140,9 @@ class VoronoiAnalysis:
                 ctypes.c_int64(max_nei),
                 ctypes.c_int32(0),
             )
-            if not flags.any() or rc > diam:
+            if not flags.any():
                 break
-            rc *= 1.6
-        nei_idx = np.where(nei_idx >= 0, nei_idx % n, -1).astype(np.int32)
+            h0 = min(4.0 * h0, 1.05 * diam)
         return volume, cavity, nface, nei_idx, nei_area, nei_dist
 
     def compute(self, backend: str = "native"):

@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
 #include <vector>
 
 #ifdef _OPENMP
@@ -46,6 +47,7 @@ constexpr int MAX_FVERT = 64;
 
 struct Face {
   int plane;  // candidate slot (>=0) or wall id (<0: -1..-6 walls, -7 seed box)
+  double pd;  // seed->plane-generator distance (0 for walls)
   int nv;
   V3 v[MAX_FVERT];
 };
@@ -56,7 +58,7 @@ struct Cell {
 
   // clip cell (coordinates relative to the seed atom) by n.x <= c.
   // returns true if the plane cut anything.
-  bool clip(V3 n, double c, int plane_id, double eps) {
+  bool clip(V3 n, double c, int plane_id, double eps, double pd = 0.0) {
     // classify + clip each face
     V3 newpts[2 * MAX_FACES];
     int nnew = 0;
@@ -81,6 +83,7 @@ struct Cell {
       // Sutherland–Hodgman
       Face out;
       out.plane = fc.plane;
+      out.pd = fc.pd;
       out.nv = 0;
       for (int k = 0; k < fc.nv; k++) {
         int k2 = (k + 1) % fc.nv;
@@ -134,6 +137,7 @@ struct Cell {
         if (nf < MAX_FACES) {
           Face &nfc = f[nf++];
           nfc.plane = plane_id;
+          nfc.pd = pd;
           nfc.nv = 0;
           // drop duplicate points (coincident intersections at shared edges)
           for (int k = 0; k < nnew && nfc.nv < MAX_FVERT; k++) {
@@ -177,6 +181,7 @@ static void init_cube(Cell &c, double h) {
   }
   for (int fi = 0; fi < 6; fi++) {
     c.f[fi].plane = -7;
+    c.f[fi].pd = 0.0;
     c.f[fi].nv = 4;
     for (int k = 0; k < 4; k++) c.f[fi].v[k] = corners[idx[fi][k]];
   }
@@ -289,6 +294,210 @@ void voro_compute(const double *pos, int64_t n_total, int64_t n_query,
       }
     }
     volume[i] = std::abs(vol);
+    cavity[i] = std::sqrt(cell.max_r2(xi));
+    nface[i] = faces;
+    for (int64_t z = nn; z < max_nei; z++) nei_idx[i * max_nei + z] = -1;
+  }
+}
+
+
+// Self-contained variant: builds its own fractional-space cell grid and
+// walks candidate cells outward in min-distance order with the classic
+// security-radius termination (the voro++ growing block search,
+// extern/voro++/src/v_compute_3d.cc, re-designed — not ported — around the
+// face-loop clipping cell above).  Handles periodic images explicitly
+// (offset -> (wrapped cell, lattice shift)), so no caller-side replication
+// or Verlet list is needed.  pos absolute; origin subtracted for binning.
+void voro_compute_grid(const double *pos, int64_t n, const double *matrix,
+                       const double *inv, const double *origin,
+                       const int32_t *boundary, const double *walls,
+                       int64_t n_walls, double h0, int32_t max_ring,
+                       double *volume, double *cavity, int32_t *nface,
+                       int32_t *flags, int32_t *nei_idx, double *nei_area,
+                       double *nei_dist, int64_t max_nei, int32_t n_threads) {
+  // --- box geometry: perpendicular thicknesses H_a -----------------------
+  V3 r0 = {matrix[0], matrix[1], matrix[2]};
+  V3 r1 = {matrix[3], matrix[4], matrix[5]};
+  V3 r2 = {matrix[6], matrix[7], matrix[8]};
+  double vol = std::abs(dot(r0, cross(r1, r2)));
+  double H[3] = {vol / norm(cross(r1, r2)), vol / norm(cross(r2, r0)),
+                 vol / norm(cross(r0, r1))};
+  double target = std::cbrt(vol / std::max<int64_t>(n, 1) * 4.0);
+  int nc[3];
+  for (int a = 0; a < 3; a++) {
+    nc[a] = (int)std::floor(H[a] / target);
+    if (nc[a] < 1) nc[a] = 1;
+    if (nc[a] > 1024) nc[a] = 1024;
+  }
+  const int64_t ncell = (int64_t)nc[0] * nc[1] * nc[2];
+
+  // --- fractional coordinates + CSR binning ------------------------------
+  // wrapped cartesians keep geometry consistent with the bins even when the
+  // caller's positions stray outside the box (rattled/unwrapped inputs)
+  std::vector<double> frac(3 * n);
+  std::vector<double> pw(3 * n);
+  std::vector<int32_t> cell_of(n);
+  std::vector<int64_t> start(ncell + 1, 0);
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel for
+#endif
+  for (int64_t i = 0; i < n; i++) {
+    double dx = pos[3 * i] - origin[0];
+    double dy = pos[3 * i + 1] - origin[1];
+    double dz = pos[3 * i + 2] - origin[2];
+    double f[3] = {dx * inv[0] + dy * inv[3] + dz * inv[6],
+                   dx * inv[1] + dy * inv[4] + dz * inv[7],
+                   dx * inv[2] + dy * inv[5] + dz * inv[8]};
+    int32_t c[3];
+    for (int a = 0; a < 3; a++) {
+      if (boundary[a]) f[a] -= std::floor(f[a]);
+      frac[3 * i + a] = f[a];
+      int32_t b = (int32_t)std::floor(f[a] * nc[a]);
+      if (b < 0) b = 0;
+      if (b >= nc[a]) b = nc[a] - 1;
+      c[a] = b;
+    }
+    for (int d3 = 0; d3 < 3; d3++)
+      pw[3 * i + d3] = f[0] * matrix[0 + d3] + f[1] * matrix[3 + d3] +
+                       f[2] * matrix[6 + d3] + origin[d3];
+    cell_of[i] = (c[0] * nc[1] + c[1]) * nc[2] + c[2];
+  }
+  for (int64_t i = 0; i < n; i++) start[cell_of[i] + 1]++;
+  for (int64_t c = 0; c < ncell; c++) start[c + 1] += start[c];
+  std::vector<int32_t> members(n);
+  {
+    std::vector<int64_t> cur(start.begin(), start.end() - 1);
+    for (int64_t i = 0; i < n; i++) members[cur[cell_of[i]]++] = (int32_t)i;
+  }
+
+  // --- candidate cell offsets sorted by a distance lower bound -----------
+  struct Off {
+    int o[3];
+    double key;  // lower bound on seed<->cell distance
+  };
+  std::vector<Off> offs;
+  int q = max_ring;
+  offs.reserve((2 * q + 1) * (2 * q + 1) * (2 * q + 1));
+  for (int ox = -q; ox <= q; ox++)
+    for (int oy = -q; oy <= q; oy++)
+      for (int oz = -q; oz <= q; oz++) {
+        Off o{{ox, oy, oz}, 0.0};
+        double key = 0.0;
+        int oo[3] = {ox, oy, oz};
+        for (int a = 0; a < 3; a++) {
+          double g = (std::abs(oo[a]) > 1 ? std::abs(oo[a]) - 1 : 0);
+          double d = g * H[a] / nc[a];
+          if (d > key) key = d;
+        }
+        o.key = key;
+        offs.push_back(o);
+      }
+  // nearest-first: ties (same lower bound, e.g. the whole key-0 shell)
+  // ordered by offset length so the cell tightens after the first few
+  // clips and the d2 security test prunes the rest
+  std::sort(offs.begin(), offs.end(), [](const Off &a, const Off &b) {
+    if (a.key != b.key) return a.key < b.key;
+    int la = a.o[0] * a.o[0] + a.o[1] * a.o[1] + a.o[2] * a.o[2];
+    int lb = b.o[0] * b.o[0] + b.o[1] * b.o[1] + b.o[2] * b.o[2];
+    return la < lb;
+  });
+
+  // --- per-seed cell construction ----------------------------------------
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+  for (int64_t i = 0; i < n; i++) {
+    V3 xi = {pw[3 * i], pw[3 * i + 1], pw[3 * i + 2]};
+    double fs[3] = {frac[3 * i], frac[3 * i + 1], frac[3 * i + 2]};
+    int32_t ci[3];
+    {
+      int32_t cc = cell_of[i];
+      ci[2] = cc % nc[2];
+      ci[1] = (cc / nc[2]) % nc[1];
+      ci[0] = cc / (nc[1] * nc[2]);
+    }
+    Cell cell;
+    init_cube(cell, h0);
+    double eps = 1e-11 * h0;
+    for (int64_t w = 0; w < n_walls; w++) {
+      V3 nw = {walls[4 * w], walls[4 * w + 1], walls[4 * w + 2]};
+      double cw = -walls[4 * w + 3] - dot(nw, xi);
+      cell.clip(nw, cw, -(int)(w + 1), eps);
+    }
+    double rmax2 = cell.max_r2(xi);
+    bool closed = false;
+    for (const Off &of : offs) {
+      if (of.key * of.key > 4.0 * rmax2) {
+        closed = true;
+        break;
+      }
+      int32_t wc[3], sh[3];
+      bool valid = true;
+      for (int a = 0; a < 3; a++) {
+        int32_t t = ci[a] + of.o[a];
+        int32_t s = (int32_t)std::floor((double)t / nc[a]);
+        if (!boundary[a] && s != 0) { valid = false; break; }
+        sh[a] = s;
+        wc[a] = t - s * nc[a];
+      }
+      if (!valid) continue;
+      // per-seed refinement of the lower bound (fractional slab gaps)
+      double dlow = 0.0;
+      for (int a = 0; a < 3; a++) {
+        double lo = (double)(ci[a] + of.o[a]) / nc[a];
+        double hi = lo + 1.0 / nc[a];
+        double g = 0.0;
+        if (lo > fs[a]) g = lo - fs[a];
+        else if (fs[a] > hi) g = fs[a] - hi;
+        double d = g * H[a];
+        if (d > dlow) dlow = d;
+      }
+      if (dlow * dlow > 4.0 * rmax2) continue;
+      V3 S = {sh[0] * r0.x + sh[1] * r1.x + sh[2] * r2.x,
+              sh[0] * r0.y + sh[1] * r1.y + sh[2] * r2.y,
+              sh[0] * r0.z + sh[1] * r1.z + sh[2] * r2.z};
+      int64_t cc = ((int64_t)wc[0] * nc[1] + wc[1]) * nc[2] + wc[2];
+      bool self_image = (sh[0] | sh[1] | sh[2]) == 0;
+      for (int64_t m = start[cc]; m < start[cc + 1]; m++) {
+        int32_t j = members[m];
+        if (self_image && j == (int32_t)i) continue;
+        V3 d = {pw[3 * j] + S.x - xi.x, pw[3 * j + 1] + S.y - xi.y,
+                pw[3 * j + 2] + S.z - xi.z};
+        double d2 = dot(d, d);
+        if (d2 > 4.0 * rmax2) continue;
+        if (cell.clip(d, 0.5 * d2, j, eps, std::sqrt(d2)))
+          rmax2 = cell.max_r2(xi);
+      }
+    }
+    flags[i] = closed ? 0 : 1;
+    double volv = 0.0;
+    int faces = 0;
+    int64_t nn = 0;
+    for (int fi = 0; fi < cell.nf; fi++) {
+      const Face &fc = cell.f[fi];
+      V3 cen = {0, 0, 0};
+      for (int k2 = 0; k2 < fc.nv; k2++) cen = add(cen, fc.v[k2]);
+      cen = mul(cen, 1.0 / fc.nv);
+      V3 asum = {0, 0, 0};
+      for (int k2 = 0; k2 < fc.nv; k2++) {
+        V3 a = sub(fc.v[k2], cen);
+        V3 b = sub(fc.v[(k2 + 1) % fc.nv], cen);
+        asum = add(asum, cross(a, b));
+      }
+      double area = 0.5 * norm(asum);
+      volv += std::abs(dot(cen, asum)) / 6.0;
+      if (area < 1e-10) continue;
+      if (fc.plane == -7) flags[i] = 1;  // cell touched the seed cube
+      faces++;
+      if (fc.plane >= 0 && nn < max_nei) {
+        nei_idx[i * max_nei + nn] = fc.plane;
+        nei_area[i * max_nei + nn] = area;
+        nei_dist[i * max_nei + nn] = fc.pd;
+        nn++;
+      }
+    }
+    volume[i] = std::abs(volv);
     cavity[i] = std::sqrt(cell.max_r2(xi));
     nface[i] = faces;
     for (int64_t z = nn; z < max_nei; z++) nei_idx[i * max_nei + z] = -1;
