@@ -100,6 +100,26 @@ def test_fire_modes(idx, params):
     assert np.allclose(s.get_energies(), d[f"mode_{idx}__energies"], atol=1e-8)
 
 
+def test_elastic_constant_lj_selfconsistent():
+    """Fast-tier variant: LJ-fcc Cij must be symmetric, cubic, and Born
+    stable; the NEP golden-parity case runs in the slow tier."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    import mdapy_tpu as mp
+    import numpy as np
+    from _toy_calc import LJCalculator
+    from mdapy_tpu.potentials.elastic import get_elastic_constant
+
+    s = mp.build_crystal("Cu", "fcc", 3.615)
+    et = get_elastic_constant(s, LJCalculator(epsilon=0.4, sigma=2.3, rc=6.0))
+    C = np.asarray(et.voigt)
+    assert np.allclose(C, C.T, atol=1e-6)
+    c11, c12, c44 = C[0, 0], C[0, 1], C[3, 3]
+    assert np.isclose(C[1, 1], c11, rtol=1e-4) and np.isclose(C[2, 2], c11, rtol=1e-4)
+    assert c11 - c12 > 0 and c11 + 2 * c12 > 0 and c44 > 0
+
+
+@pytest.mark.slow
 def test_elastic_constant():
     import mdapy_tpu as mp
     from mdapy_tpu.potentials.elastic import get_elastic_constant

@@ -23,6 +23,7 @@ def _scene(n=3):
     return pos, colors, radii
 
 
+@pytest.mark.slow
 def test_fast_ao_matches_exact_estimator(monkeypatch):
     monkeypatch.setenv("MDAPY_TPU_AO_MODE", "fast")
     pos, colors, radii = _scene()

@@ -152,6 +152,7 @@ def test_run_mc_is_monotonically_helpful():
     assert long_.objective <= short.objective + 1e-9
 
 
+@pytest.mark.slow
 def test_is_sqs_true_on_converged_cubic():
     sys_init = mp.build_hea(("A", "B", "C"), (1 / 3,) * 3, "fcc", 3.6,
                             nx=4, ny=4, nz=4, random_seed=0)
