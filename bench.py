@@ -280,6 +280,56 @@ def bench_config3():
     return out
 
 
+def bench_config5():
+    """BASELINE config 5 at single-chip scale: a 10M-atom HEA block rendered
+    at 1080p with AA + shadows through the megakernel (the multi-host
+    variant shards the same tile grid over a (hosts, cores) mesh — see
+    render/multihost.py and the dryrun's (2,4) hierarchical pass)."""
+    import time
+
+    import jax.numpy as jnp
+    import mdapy_tpu as mp
+
+    s = mp.build_hea(
+        ("Co", "Ni", "Cr", "Fe", "Mn"), (0.2, 0.2, 0.2, 0.2, 0.2),
+        "fcc", 3.59, nx=136, ny=136, nz=136, random_seed=1,
+    )  # 10,061,824 atoms
+    pos = np.ascontiguousarray(s.pos)
+    n = len(pos)
+    from mdapy_tpu.core.elements import ele_rgb
+
+    elems = np.asarray(s.data["element"]).astype(str)
+    palette = {
+        e: tuple(np.asarray(ele_rgb.get(e, (180, 128, 77)), float) / 255.0)
+        for e in set(elems.tolist())
+    }
+    colors = np.array(
+        [(*palette[e], 1.0) for e in elems], np.float32
+    )
+    radii = np.full(n, 1.25, np.float32)
+    cam = mp.preset_camera("perspective", pos, max_radius=1.25)
+    W, H, AA = 1920, 1080, 2
+    ren = mp.TachyonRender(backend="tpu", ao=False, aa_samples=AA)
+    out = ren.render(pos, colors, radii, camera=cam, width=W, height=H,
+                     device_output=True)
+    dsync(out)
+    nframes = 3
+    t0 = time.time()
+    outs = [
+        ren.render(pos, colors, radii, camera=cam, width=W, height=H,
+                   device_output=True)
+        for _ in range(nframes)
+    ]
+    dsync(outs)
+    dt = (time.time() - t0) / nframes
+    rays = W * H * (AA + 1) * 2
+    return {
+        "config5_atoms": n,
+        "config5_ms_per_frame": round(dt * 1e3, 1),
+        "config5_grays_per_s": round(rays / dt / 1e9, 3),
+    }
+
+
 def main():
     import jax
 
@@ -334,6 +384,11 @@ def main():
             extra.update(bench_config3())
         except Exception as exc:
             extra["config3_error"] = repr(exc)[:200]
+    if os.environ.get("BENCH_SKIP_CONFIG5", "0") != "1":
+        try:
+            extra.update(bench_config5())
+        except Exception as exc:
+            extra["config5_error"] = repr(exc)[:200]
     if os.environ.get("BENCH_SKIP_POTENTIALS", "0") != "1":
         try:
             extra.update(bench_potentials())

@@ -158,6 +158,7 @@ def _mega_kernel(
     L: int,
     ncells_l: int,
     debug_phases: int = 5,
+    ao_shared: bool = False,
 ):
     G = TILE_GROUP
     SP = S * P
@@ -550,20 +551,30 @@ def _mega_kernel(
                 hz_all = state[pl.ds(_HZ, 1), :]
                 miss_all = state[pl.ds(_MISS, 1), :]
                 inten = nx_all * lx + ny_all * ly + nz_all * lz
-                litb = (inten > MINCONTRIB) & (miss_all < 0.5)
-                lit_all = jnp.where(litb, f32(1.0), f32(0.0))
+                litb_full = (inten > MINCONTRIB) & (miss_all < 0.5)
+                lit_all = jnp.where(litb_full, f32(1.0), f32(0.0))
+                # shared-occlusion AO: sky-light (l > 0) visibility is
+                # evaluated on AA sample 0 only and reused for every sample
+                # (AO is low-frequency; the primary light keeps per-sample
+                # shadows).  Cuts the shadow sweep compute S-fold.
+                C = P if (ao_shared and _l > 0) else SP
                 if shadows and debug_phases >= 5:
+                    hx_s = hx_all[:, :C]
+                    hy_s = hy_all[:, :C]
+                    hz_s = hz_all[:, :C]
+                    litb = litb_full[:, :C]
+                    lit_s = lit_all[:, :C]
                     u_all = (
-                        hx_all * e1x + hy_all * e1y + hz_all * e1z - lorgu
+                        hx_s * e1x + hy_s * e1y + hz_s * e1z - lorgu
                     )
                     v_all = (
-                        hx_all * e2x + hy_all * e2y + hz_all * e2z - lorgv
+                        hx_s * e2x + hy_s * e2y + hz_s * e2z - lorgv
                     )
-                    tau_all = hx_all * lx + hy_all * ly + hz_all * lz
+                    tau_all = hx_s * lx + hy_s * ly + hz_s * lz
                     tau_eps = tau_all + eps
                     gx_all = jnp.clip(jnp.floor(u_all * inv_cell), 0, grid_n - 1)
                     gy_all = jnp.clip(jnp.floor(v_all * inv_cell), 0, grid_n - 1)
-                    blocked[:, :] = jnp.zeros((1, SP), f32)
+                    blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.zeros((1, C), f32)
                     mngx = jnp.min(jnp.where(litb, gx_all, f32(grid_n)))
                     mxgx = jnp.max(jnp.where(litb, gx_all, -1.0))
                     mngy = jnp.min(jnp.where(litb, gy_all, f32(grid_n)))
@@ -597,7 +608,9 @@ def _mega_kernel(
                         # scan floor: shallowest unblocked selected ray; refreshed
                         # after each window so newly-blocked rays stop holding it
                         def floor_now():
-                            selm = incell & (blocked[:, :] < 0.5)
+                            selm = incell & (
+                                blocked[pl.ds(0, 1), pl.ds(0, C)] < 0.5
+                            )
                             return jnp.min(jnp.where(selm, tau_all, BIG))
 
                         mintau0 = floor_now()
@@ -637,7 +650,9 @@ def _mega_kernel(
                                 jnp.where(occ, f32(1.0), f32(0.0)), axis=0, keepdims=True
                             )
                             selg = jnp.where(incell, f32(1.0), f32(0.0))
-                            blocked[:, :] = jnp.maximum(blocked[:, :], selg * occf)
+                            blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.maximum(
+                                blocked[pl.ds(0, 1), pl.ds(0, C)], selg * occf
+                            )
                             nxt_kmax = srec[4, SHW - 1]
                             return w + 1, nxt_kmax, floor_now()
 
@@ -710,9 +725,9 @@ def _mega_kernel(
                             axz = occT[:, 10:11]
                             typ = occT[:, 11:12]
                             alen = occT[:, 12:13]
-                            hx = hx_all
-                            hy = hy_all
-                            hz = hz_all
+                            hx = hx_s
+                            hy = hy_s
+                            hz = hz_s
                             ocx = hx - px                      # (KG, SP)
                             ocy = hy - py
                             ocz = hz - pz
@@ -756,13 +771,18 @@ def _mega_kernel(
                                 jnp.where(occ_c | occ_r, f32(1.0), f32(0.0)),
                                 axis=0, keepdims=True,
                             )
-                            blocked[:, :] = jnp.maximum(
-                                blocked[:, :], lit_all * occf
+                            blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.maximum(
+                                blocked[pl.ds(0, 1), pl.ds(0, C)],
+                                lit_s * occf,
                             )
 
                 # per-light diffuse accumulation (full width, all samples)
                 if shadows and debug_phases >= 5:
-                    filt = 1.0 - blocked[pl.ds(0, 1), :]
+                    if C == SP:
+                        filt = 1.0 - blocked[pl.ds(0, 1), :]
+                    else:
+                        b0 = blocked[pl.ds(0, 1), pl.ds(0, P)]
+                        filt = 1.0 - jnp.concatenate([b0] * S, axis=1)
                 else:
                     filt = f32(1.0)
                 state[pl.ds(_SH, 1), :] = (
@@ -800,7 +820,7 @@ def _mega_kernel(
     static_argnames=(
         "S", "width", "height", "tiles_x", "tiles_y", "grid_n",
         "eps", "perspective", "shadows", "interpret", "debug_phases",
-        "quantized", "n_occ",
+        "quantized", "n_occ", "ao_shared",
     ),
 )
 def render_image_mega(
@@ -828,6 +848,7 @@ def render_image_mega(
     occ_recs=None,       # (16, KG) global cyl/ring occluders
     n_occ: int = 0,
     extra_lights=None,   # list of (lparams_row(16,), ldata, loffs, lcnt, occ)
+    ao_shared: bool = False,
 ):
     """Full-frame fused render.
 
@@ -911,6 +932,7 @@ def render_image_mega(
         grid_n=grid_n, eps=eps, perspective=perspective, shadows=shadows,
         other=other, n_occ=(n_occ if shadows else 0), ZC=ZC,
         L=L, ncells_l=ncells_l, debug_phases=debug_phases,
+        ao_shared=ao_shared,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,

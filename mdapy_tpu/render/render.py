@@ -521,6 +521,10 @@ class TachyonRender:
                                 np.zeros(ncl, np.int32),
                             )
                         shadows_flag = True
+                    _ao_shared = (
+                        extra_lights is not None
+                        and os.environ.get("MDAPY_TPU_AO_SHARED", "1") != "0"
+                    )
                     img_f = render_image_mega(
                         chunk_data, bins.sph_zmin,
                         lr0[0], lr0[1], lr0[2],
@@ -533,6 +537,7 @@ class TachyonRender:
                         interpret=(self._backend == "cpu"),
                         quantized=device_output,
                         extra_lights=extra_lights,
+                        ao_shared=_ao_shared,
                         **other_kw,
                     )
                     if device_output:

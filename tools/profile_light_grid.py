@@ -24,7 +24,7 @@ radii = np.full(len(pos), 1.28, np.float32)
 cam = mp.preset_camera("perspective", pos, max_radius=1.28)
 W, H, AA, K = 1920, 1080, 2, 12
 
-for g in (8, 12, 16, 24, 32):
+for g in (48, 64):
     os.environ["MDAPY_TPU_LIGHT_GRID"] = str(g)
     ren = mp.TachyonRender(backend="tpu", ao=True, ao_samples=K,
                            aa_samples=AA, background=(1.0, 1.0, 1.0))
