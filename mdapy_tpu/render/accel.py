@@ -435,14 +435,17 @@ def build_light_bins(scene, light_dir, grid: int = 128) -> LightBins:
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def _light_csr_kernel_data(cand, centers, radii, e1, e2, org, L, cap: int):
+def _light_csr_kernel_data(cand, centers, radii, alphas, e1, e2, org, L,
+                           cap: int):
     """CSR light-grid records for the Pallas shadow kernel.
 
     Per cell, candidates sorted DESCENDING by far-depth key (c.L + r) — the
     light-side-first scan order — then flattened with each cell's segment
     padded to a 128 multiple (aligned window DMAs).  Records are rows
-    [cu, cv, ck, r, key] where (cu, cv) are lateral light-space coords and
-    ck = c.L, so the in-kernel occlusion test is 2D lateral + depth."""
+    [cu, cv, ck, r, key, alpha] where (cu, cv) are lateral light-space
+    coords and ck = c.L, so the in-kernel occlusion test is 2D lateral +
+    depth; alpha feeds the transparency-peeling sweep's multiplicative
+    (1 - alpha) shadow attenuation."""
     ncells, K = cand.shape
     idx = jnp.maximum(cand, 0)
     live = cand >= 0
@@ -466,8 +469,9 @@ def _light_csr_kernel_data(cand, centers, radii, e1, e2, org, L, cap: int):
     ck = jnp.where(ok, centers[gi] @ L, 0.0)
     r = jnp.where(ok, radii[gi], -1.0)
     kk = jnp.where(ok, ck + r, -BIG_DEPTH)
+    al = jnp.where(ok, alphas[gi], 0.0)
     zero = jnp.zeros_like(cu)
-    ldata = jnp.stack([cu, cv, ck, r, kk, zero, zero, zero])
+    ldata = jnp.stack([cu, cv, ck, r, kk, al, zero, zero])
     return ldata, offs.astype(jnp.int32), count
 
 
@@ -483,7 +487,7 @@ def build_light_records(lb: "LightBins", scene):
     padded_total = int(jnp.sum(((count + 127) // 128) * 128))
     cap = _round_pow2(padded_total, lo=128)
     return _light_csr_kernel_data(
-        cand, scene.sph_center, scene.sph_radius,
+        cand, scene.sph_center, scene.sph_radius, scene.sph_color[:, 3],
         lb.e1, lb.e2, lb.org, lb.L, cap,
     )
 

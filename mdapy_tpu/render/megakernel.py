@@ -116,6 +116,9 @@ _NX, _NY, _NZ = 0, 1, 2           # surface normal (after shade prep)
 _HX, _HY, _HZ = 5, 6, 7           # hit point (after shade prep)
 _CR, _CG, _CB = 8, 9, 10
 _MISS, _SH = 11, 12               # miss flag, accumulated diffuse sum
+_ALPHA = 3                        # hit alpha (after shade prep; peel mode)
+_WT, _AR, _AG, _AB = 16, 17, 18, 19   # transparency weight + accumulators
+_CUMT = 15                        # camera-depth accumulated over peels
 
 
 def _mega_kernel(
@@ -159,6 +162,7 @@ def _mega_kernel(
     ncells_l: int,
     debug_phases: int = 5,
     ao_shared: bool = False,
+    n_peel: int = 1,
 ):
     G = TILE_GROUP
     SP = S * P
@@ -255,544 +259,634 @@ def _mega_kernel(
             txf = (tile % tiles_x).astype(f32)
             tyf = (tile // tiles_x).astype(f32)
 
-            # ---- ray generation: (1, P) lane vectors per sample ------------
-            def raygen(s, _):
-                jx, jy = _hash_jitter(tile, s, seed, pix)
-                nz = jnp.where(s > 0, f32(1.0), f32(0.0))
-                x = txf * TILE_PX + sub_x + off + jx * nz
-                y = tyf * TILE_PX + sub_y + off + jy * nz
-                dx = llx + x * iprx + y * ipux
-                dy = lly + x * ipry + y * ipuy
-                dz = llz + x * iprz + y * ipuz
-                if perspective:
-                    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-                    dx, dy, dz = dx * inv, dy * inv, dz * inv
-                    rox, roy, roz = ox, oy, oz
-                else:
-                    rox, roy, roz = dx, dy, dz
-                    dx = jnp.full((1, P), vwx, f32)
-                    dy = jnp.full((1, P), vwy, f32)
-                    dz = jnp.full((1, P), vwz, f32)
-                    set_srow(_OX, s, rox)
-                    set_srow(_OY, s, roy)
-                    set_srow(_OZ, s, roz)
-                # ray-AABB exit for the early-termination cap
-                def axis_exit(o1, d1, lo1, hi1):
-                    invd = 1.0 / jnp.where(jnp.abs(d1) > 1e-30, d1, 1e-30)
-                    t0 = (lo1 - o1) * invd
-                    t1 = (hi1 - o1) * invd
-                    return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
-                n0, f0 = axis_exit(rox, dx, lox, hix)
-                n1, f1 = axis_exit(roy, dy, loy, hiy)
-                n2, f2 = axis_exit(roz, dz, loz_, hiz)
-                tnear = jnp.maximum(jnp.maximum(n0, n1), n2)
-                tfar = jnp.minimum(jnp.minimum(f0, f1), f2)
-                tcap = jnp.where(tfar >= jnp.maximum(tnear, 0.0), tfar, -BIG)
-                set_srow(_DX, s, dx)
-                set_srow(_DY, s, dy)
-                set_srow(_DZ, s, dz)
-                set_srow(_TCAP, s, tcap)
-                set_srow(_BT, s, jnp.full((1, P), BIG, f32))
-                return 0
+            def run_peel(peel):
+                """One transparency bounce: raygen (advancing past the
+                previous hit when peel > 0) -> traversal -> shade -> lights
+                -> weight/color accumulation (RT_TRANS_VMD peeling,
+                matching tracer.py's peel scan)."""
+                # ---- ray generation: (1, P) lane vectors per sample ------------
+                def raygen(s, _):
+                    jx, jy = _hash_jitter(tile, s, seed, pix)
+                    nz = jnp.where(s > 0, f32(1.0), f32(0.0))
+                    x = txf * TILE_PX + sub_x + off + jx * nz
+                    y = tyf * TILE_PX + sub_y + off + jy * nz
+                    dx = llx + x * iprx + y * ipux
+                    dy = lly + x * ipry + y * ipuy
+                    dz = llz + x * iprz + y * ipuz
+                    if perspective:
+                        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+                        dx, dy, dz = dx * inv, dy * inv, dz * inv
+                        rox, roy, roz = ox, oy, oz
+                        if n_peel > 1 and peel == 0:
+                            set_srow(_OX, s, jnp.full((1, P), ox, f32))
+                            set_srow(_OY, s, jnp.full((1, P), oy, f32))
+                            set_srow(_OZ, s, jnp.full((1, P), oz, f32))
+                    else:
+                        rox, roy, roz = dx, dy, dz
+                        dx = jnp.full((1, P), vwx, f32)
+                        dy = jnp.full((1, P), vwy, f32)
+                        dz = jnp.full((1, P), vwz, f32)
+                        if peel == 0:
+                            set_srow(_OX, s, rox)
+                            set_srow(_OY, s, roy)
+                            set_srow(_OZ, s, roz)
+                    if peel > 0:
+                        # advance past the previous hit (rows 5-7 hold the
+                        # hit point from the last shade) by eps along d
+                        rox = srow(_OX, s) + eps * dx
+                        roy = srow(_OY, s) + eps * dy
+                        roz = srow(_OZ, s) + eps * dz
+                        set_srow(_OX, s, rox)
+                        set_srow(_OY, s, roy)
+                        set_srow(_OZ, s, roz)
+                    # ray-AABB exit for the early-termination cap
+                    def axis_exit(o1, d1, lo1, hi1):
+                        invd = 1.0 / jnp.where(jnp.abs(d1) > 1e-30, d1, 1e-30)
+                        t0 = (lo1 - o1) * invd
+                        t1 = (hi1 - o1) * invd
+                        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+                    n0, f0 = axis_exit(rox, dx, lox, hix)
+                    n1, f1 = axis_exit(roy, dy, loy, hiy)
+                    n2, f2 = axis_exit(roz, dz, loz_, hiz)
+                    tnear = jnp.maximum(jnp.maximum(n0, n1), n2)
+                    tfar = jnp.minimum(jnp.minimum(f0, f1), f2)
+                    tcap = jnp.where(tfar >= jnp.maximum(tnear, 0.0), tfar, -BIG)
+                    set_srow(_DX, s, dx)
+                    set_srow(_DY, s, dy)
+                    set_srow(_DZ, s, dz)
+                    set_srow(_TCAP, s, tcap)
+                    set_srow(_BT, s, jnp.full((1, P), BIG, f32))
+                    if n_peel > 1 and peel == 0:
+                        set_srow(_CUMT, s, jnp.zeros((1, P), f32))
+                    return 0
 
-            if debug_phases >= 2:
-                recs[:, :] = jnp.zeros((16 if other else 8, SP), f32)
-                jax.lax.fori_loop(0, S, raygen, 0)
-                needed[0] = jnp.max(state[pl.ds(_TCAP, 1), :])
+                if debug_phases >= 2:
+                    recs[:, :] = jnp.zeros((16 if other else 8, SP), f32)
+                    jax.lax.fori_loop(0, S, raygen, 0)
+                    # the chunk zmin early-exit compares CAMERA depth: rays
+                    # advanced by earlier peels carry their accumulated
+                    # camera-depth so the bound stays conservative
+                    nd0 = state[pl.ds(_TCAP, 1), :]
+                    if n_peel > 1:
+                        nd0 = nd0 + state[pl.ds(_CUMT, 1), :]
+                    needed[0] = jnp.max(nd0)
 
-            # ---- front-to-back chunk loop, full width over samples ---------
-            def ccond(c):
-                # zmin is depth-sorted, so the capped entry ZC-1 is a
-                # conservative (smaller) stand-in for deeper chunks: the
-                # loop never exits early on stale data, only late
-                zc = zmin_ref[
-                    jnp.minimum(tile, nb - 1) * ZC
-                    + jnp.minimum(jnp.minimum(c, nchunks - 1), ZC - 1)
-                ]
-                return (c < nchunks) & (zc < needed[0])
+                # ---- front-to-back chunk loop, full width over samples ---------
+                def ccond(c):
+                    # zmin is depth-sorted, so the capped entry ZC-1 is a
+                    # conservative (smaller) stand-in for deeper chunks: the
+                    # loop never exits early on stale data, only late
+                    zc = zmin_ref[
+                        jnp.minimum(tile, nb - 1) * ZC
+                        + jnp.minimum(jnp.minimum(c, nchunks - 1), ZC - 1)
+                    ]
+                    return (c < nchunks) & (zc < needed[0])
 
-            def cbody(c):
-                rec = rowbuf[slot, c]                  # (8, CH)
-                recT = jnp.swapaxes(rec, 0, 1)         # (CH, 8)
-                cx = recT[:, 0:1]
-                cy = recT[:, 1:2]
-                cz = recT[:, 2:3]
-                r = recT[:, 3:4]
-                rlive = r > 0.0
-                dx = state[pl.ds(_DX, 1), :]           # (1, SP)
-                dy = state[pl.ds(_DY, 1), :]
-                dz = state[pl.ds(_DZ, 1), :]
-                bt = state[pl.ds(_BT, 1), :]
-                tcap = state[pl.ds(_TCAP, 1), :]
-                if perspective:
-                    ocx = ox - cx                      # (CH, 1)
-                    ocy = oy - cy
-                    ocz = oz - cz
-                    b = ocx * dx + ocy * dy + ocz * dz  # (CH, SP)
-                    ccb = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-                else:
-                    rox = state[pl.ds(_OX, 1), :]
-                    roy = state[pl.ds(_OY, 1), :]
-                    roz = state[pl.ds(_OZ, 1), :]
-                    ocx2 = rox - cx
-                    ocy2 = roy - cy
-                    ocz2 = roz - cz
-                    b = ocx2 * dx + ocy2 * dy + ocz2 * dz
-                    ccb = ocx2 * ocx2 + ocy2 * ocy2 + ocz2 * ocz2 - r * r
-                disc = b * b - ccb
-                ok = (disc >= 0.0) & rlive
-                sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
-                t1 = -b - sq
-                t2 = sq - b
-                t = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, BIG))
-                t = jnp.where(ok, t, BIG)
-                tmin = jnp.min(t, axis=0, keepdims=True)      # (1, SP)
-                better = tmin < bt
-                # exclusive one-hot: adjacent spheres can tie in t at seam
-                # pixels; summing two records corrupts the winner
-                is_min = t == tmin
-                cidx = jnp.where(is_min, cand_f, f32(CH))
-                cmin = jnp.min(cidx, axis=0, keepdims=True)
-                onehot = jnp.where(
-                    is_min & (cand_f == cmin), 1.0, 0.0
-                ).astype(f32)
-                rec_sel = jax.lax.dot_general(
-                    rec, onehot, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )                                              # (8, SP)
-                # rows 8+ (axis/type) stay zero = sphere: the cyl/ring pass
-                # runs strictly AFTER this loop, so a sphere win never needs
-                # to reset them
-                old8 = recs[pl.ds(0, 8), :]
-                recs[pl.ds(0, 8), :] = jnp.where(better, rec_sel, old8)
-                btn = jnp.where(better, tmin, bt)
-                state[pl.ds(_BT, 1), :] = btn
-                needed[0] = jnp.max(jnp.minimum(btn, tcap))
-                return c + 1
-
-            if debug_phases >= 3:
-                jax.lax.while_loop(ccond, cbody, jnp.int32(0))
-
-            # ---- dense cyl/ring pass (small per-tile candidate lists) ------
-            if other and debug_phases >= 3:
-                @pl.when(othl)
-                def other_pass():
-                    odma(oslot, tile).wait()
-                    orec = obuf[oslot]                     # (16, KO)
-                    orecT = jnp.swapaxes(orec, 0, 1)       # (KO, 16)
-                    px = orecT[:, 0:1]
-                    py = orecT[:, 1:2]
-                    pz = orecT[:, 2:3]
-                    rad = orecT[:, 3:4]
-                    axx = orecT[:, 8:9]
-                    axy = orecT[:, 9:10]
-                    axz = orecT[:, 10:11]
-                    typ = orecT[:, 11:12]
-                    alen = orecT[:, 12:13]
-                    rad_live = rad > 0.0
+                def cbody(c):
+                    rec = rowbuf[slot, c]                  # (8, CH)
+                    recT = jnp.swapaxes(rec, 0, 1)         # (CH, 8)
+                    cx = recT[:, 0:1]
+                    cy = recT[:, 1:2]
+                    cz = recT[:, 2:3]
+                    r = recT[:, 3:4]
+                    rlive = r > 0.0
                     dx = state[pl.ds(_DX, 1), :]           # (1, SP)
                     dy = state[pl.ds(_DY, 1), :]
                     dz = state[pl.ds(_DZ, 1), :]
                     bt = state[pl.ds(_BT, 1), :]
-                    if perspective:
-                        ocx = ox - px                      # (KO, 1)
-                        ocy = oy - py
-                        ocz = oz - pz
+                    tcap = state[pl.ds(_TCAP, 1), :]
+                    if perspective and n_peel == 1:
+                        ocx = ox - cx                      # (CH, 1)
+                        ocy = oy - cy
+                        ocz = oz - cz
+                        b = ocx * dx + ocy * dy + ocz * dz  # (CH, SP)
+                        ccb = ocx * ocx + ocy * ocy + ocz * ocz - r * r
                     else:
-                        ocx = state[pl.ds(_OX, 1), :] - px  # (KO, SP)
-                        ocy = state[pl.ds(_OY, 1), :] - py
-                        ocz = state[pl.ds(_OZ, 1), :] - pz
-                    oca = ocx * axx + ocy * axy + ocz * axz
-                    dda = axx * dx + axy * dy + axz * dz   # (KO, SP)
-                    # cylinder body — stable perpendicular-vector form
-                    # (see tracer._cyl_t: the `1 - dda^2` form cancels in f32
-                    # for rays nearly parallel to long thin box edges)
-                    dpx = dx - dda * axx
-                    dpy = dy - dda * axy
-                    dpz = dz - dda * axz
-                    opx = ocx - oca * axx
-                    opy = ocy - oca * axy
-                    opz = ocz - oca * axz
-                    a2 = dpx * dpx + dpy * dpy + dpz * dpz
-                    bq = opx * dpx + opy * dpy + opz * dpz
-                    cq = opx * opx + opy * opy + opz * opz - rad * rad
-                    disc = bq * bq - a2 * cq
-                    live_c = (typ == 1.0) & rad_live & (disc >= 0.0) & (a2 > 1e-12)
-                    inv_a2 = 1.0 / jnp.where(a2 > 1e-12, a2, 1.0)
-                    sq = jnp.sqrt(jnp.where(live_c, disc, 0.0))
-                    t1 = (-bq - sq) * inv_a2
-                    t2 = (-bq + sq) * inv_a2
-                    s1 = oca + t1 * dda
-                    s2 = oca + t2 * dda
-                    ok1 = live_c & (t1 > eps) & (s1 >= 0.0) & (s1 <= alen)
-                    ok2 = live_c & (t2 > eps) & (s2 >= 0.0) & (s2 <= alen)
-                    tc = jnp.where(ok1, t1, jnp.where(ok2, t2, BIG))
-                    # ring (disc in the plane with normal = axis rows)
-                    dn = dda
-                    tr0 = -oca / jnp.where(jnp.abs(dn) > 1e-12, dn, 1.0)
-                    rx = ocx + tr0 * dx
-                    ry = ocy + tr0 * dy
-                    rz = ocz + tr0 * dz
-                    rho2 = rx * rx + ry * ry + rz * rz
-                    okr = (
-                        (typ == 2.0) & rad_live & (jnp.abs(dn) > 1e-12)
-                        & (tr0 > eps) & (rho2 <= rad * rad)
-                    )
-                    t = jnp.where(okr, tr0, tc)
-                    tmin = jnp.min(t, axis=0, keepdims=True)
+                        rox = state[pl.ds(_OX, 1), :]
+                        roy = state[pl.ds(_OY, 1), :]
+                        roz = state[pl.ds(_OZ, 1), :]
+                        ocx2 = rox - cx
+                        ocy2 = roy - cy
+                        ocz2 = roz - cz
+                        b = ocx2 * dx + ocy2 * dy + ocz2 * dz
+                        ccb = ocx2 * ocx2 + ocy2 * ocy2 + ocz2 * ocz2 - r * r
+                    disc = b * b - ccb
+                    ok = (disc >= 0.0) & rlive
+                    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+                    t1 = -b - sq
+                    t2 = sq - b
+                    t = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, BIG))
+                    t = jnp.where(ok, t, BIG)
+                    tmin = jnp.min(t, axis=0, keepdims=True)      # (1, SP)
                     better = tmin < bt
+                    # exclusive one-hot: adjacent spheres can tie in t at seam
+                    # pixels; summing two records corrupts the winner
                     is_min = t == tmin
-                    oidx = jax.lax.broadcasted_iota(
-                        jnp.int32, (t.shape[0], 1), 0
-                    ).astype(f32)
-                    omin = jnp.min(
-                        jnp.where(is_min, oidx, f32(t.shape[0])),
-                        axis=0, keepdims=True,
-                    )
+                    cidx = jnp.where(is_min, cand_f, f32(CH))
+                    cmin = jnp.min(cidx, axis=0, keepdims=True)
                     onehot = jnp.where(
-                        is_min & (oidx == omin), 1.0, 0.0
+                        is_min & (cand_f == cmin), 1.0, 0.0
                     ).astype(f32)
                     rec_sel = jax.lax.dot_general(
-                        orec, onehot, (((1,), (0,)), ((), ())),
+                        rec, onehot, (((1,), (0,)), ((), ())),
                         preferred_element_type=f32,
-                    )                                      # (16, SP)
-                    recs[:, :] = jnp.where(better, rec_sel, recs[:, :])
-                    state[pl.ds(_BT, 1), :] = jnp.where(better, tmin, bt)
+                    )                                              # (8, SP)
+                    # rows 8+ (axis/type) stay zero = sphere: the cyl/ring pass
+                    # runs strictly AFTER this loop, so a sphere win never needs
+                    # to reset them
+                    old8 = recs[pl.ds(0, 8), :]
+                    recs[pl.ds(0, 8), :] = jnp.where(better, rec_sel, old8)
+                    btn = jnp.where(better, tmin, bt)
+                    state[pl.ds(_BT, 1), :] = btn
+                    ndc = jnp.minimum(btn, tcap)
+                    if n_peel > 1:
+                        ndc = ndc + state[pl.ds(_CUMT, 1), :]
+                    needed[0] = jnp.max(ndc)
+                    return c + 1
 
-            # ---- shading prep: surface attributes per sample ---------------
-            def shade_prep(s, _):
-                dx = srow(_DX, s)
-                dy = srow(_DY, s)
-                dz = srow(_DZ, s)
-                bt = srow(_BT, s)
-                if perspective:
-                    rox, roy, roz = ox, oy, oz
-                else:
-                    rox = srow(_OX, s)
-                    roy = srow(_OY, s)
-                    roz = srow(_OZ, s)
-                sl = pl.ds(pl.multiple_of(s * P, P), P)
-                rwin = recs[pl.ds(3, 1), sl]
-                missed = (bt >= BIG_DEPTH) | (rwin <= 0.0)
-                tsafe = jnp.where(missed, 0.0, bt)
-                hx = rox + tsafe * dx
-                hy = roy + tsafe * dy
-                hz = roz + tsafe * dz
-                nx = hx - recs[pl.ds(0, 1), sl]
-                ny = hy - recs[pl.ds(1, 1), sl]
-                nz2 = hz - recs[pl.ds(2, 1), sl]
-                if other:
-                    # type-selected normal: sphere = radial; cylinder =
-                    # radial minus axis component; ring = plane normal
-                    typ = recs[pl.ds(11, 1), sl]
-                    axx = recs[pl.ds(8, 1), sl]
-                    axy = recs[pl.ds(9, 1), sl]
-                    axz = recs[pl.ds(10, 1), sl]
-                    sax = nx * axx + ny * axy + nz2 * axz
-                    iscyl = typ == 1.0
-                    nx = jnp.where(iscyl, nx - sax * axx, nx)
-                    ny = jnp.where(iscyl, ny - sax * axy, ny)
-                    nz2 = jnp.where(iscyl, nz2 - sax * axz, nz2)
-                    isring = typ == 2.0
-                    nx = jnp.where(isring, axx, nx)
-                    ny = jnp.where(isring, axy, ny)
-                    nz2 = jnp.where(isring, axz, nz2)
-                inv = jax.lax.rsqrt(
-                    jnp.maximum(nx * nx + ny * ny + nz2 * nz2, 1e-30)
-                )
-                nx, ny, nz2 = nx * inv, ny * inv, nz2 * inv
-                facing = nx * dx + ny * dy + nz2 * dz
-                flip = jnp.where(facing > 0.0, -1.0, 1.0)
-                nx, ny, nz2 = nx * flip, ny * flip, nz2 * flip
-                set_srow(_CR, s, recs[pl.ds(4, 1), sl])
-                set_srow(_CG, s, recs[pl.ds(5, 1), sl])
-                set_srow(_CB, s, recs[pl.ds(6, 1), sl])
-                set_srow(_MISS, s, jnp.where(missed, f32(1.0), f32(0.0)))
-                # rows 0-7 (dirs / ortho origins) retire into normal + hit
-                # point — every read above already happened
-                set_srow(_NX, s, nx)
-                set_srow(_NY, s, ny)
-                set_srow(_NZ, s, nz2)
-                set_srow(_HX, s, hx)
-                set_srow(_HY, s, hy)
-                set_srow(_HZ, s, hz)
-                return 0
+                if debug_phases >= 3:
+                    jax.lax.while_loop(ccond, cbody, jnp.int32(0))
 
-            if debug_phases >= 4:
-                jax.lax.fori_loop(0, S, shade_prep, 0)
-                state[pl.ds(_SH, 1), :] = jnp.zeros((1, SP), f32)
-
-            # ---- per-light loop: diffuse + shadow filter, accumulated ------
-            # Each light l reads its scalars from lparams and its CSR slice;
-            # AO sky directions are just additional lights with ambient 0 —
-            # the expensive closest-hit traversal above runs ONCE for all of
-            # them (vs one full megakernel launch per direction before).
-            for _l in range(L if debug_phases >= 4 else 0):
-                lb16 = _l * 16
-                lx = lparams_ref[lb16 + 0]
-                ly = lparams_ref[lb16 + 1]
-                lz = lparams_ref[lb16 + 2]
-                e1x = lparams_ref[lb16 + 3]
-                e1y = lparams_ref[lb16 + 4]
-                e1z = lparams_ref[lb16 + 5]
-                e2x = lparams_ref[lb16 + 6]
-                e2y = lparams_ref[lb16 + 7]
-                e2z = lparams_ref[lb16 + 8]
-                lorgu = lparams_ref[lb16 + 9]
-                lorgv = lparams_ref[lb16 + 10]
-                inv_cell = lparams_ref[lb16 + 11]
-                lightcol = lparams_ref[lb16 + 12]
-
-                nx_all = state[pl.ds(_NX, 1), :]
-                ny_all = state[pl.ds(_NY, 1), :]
-                nz_all = state[pl.ds(_NZ, 1), :]
-                hx_all = state[pl.ds(_HX, 1), :]
-                hy_all = state[pl.ds(_HY, 1), :]
-                hz_all = state[pl.ds(_HZ, 1), :]
-                miss_all = state[pl.ds(_MISS, 1), :]
-                inten = nx_all * lx + ny_all * ly + nz_all * lz
-                litb_full = (inten > MINCONTRIB) & (miss_all < 0.5)
-                lit_all = jnp.where(litb_full, f32(1.0), f32(0.0))
-                # shared-occlusion AO: sky-light (l > 0) visibility is
-                # evaluated on AA sample 0 only and reused for every sample
-                # (AO is low-frequency; the primary light keeps per-sample
-                # shadows).  Cuts the shadow sweep compute S-fold.
-                C = P if (ao_shared and _l > 0) else SP
-                if shadows and debug_phases >= 5:
-                    hx_s = hx_all[:, :C]
-                    hy_s = hy_all[:, :C]
-                    hz_s = hz_all[:, :C]
-                    litb = litb_full[:, :C]
-                    lit_s = lit_all[:, :C]
-                    u_all = (
-                        hx_s * e1x + hy_s * e1y + hz_s * e1z - lorgu
-                    )
-                    v_all = (
-                        hx_s * e2x + hy_s * e2y + hz_s * e2z - lorgv
-                    )
-                    tau_all = hx_s * lx + hy_s * ly + hz_s * lz
-                    tau_eps = tau_all + eps
-                    gx_all = jnp.clip(jnp.floor(u_all * inv_cell), 0, grid_n - 1)
-                    gy_all = jnp.clip(jnp.floor(v_all * inv_cell), 0, grid_n - 1)
-                    blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.zeros((1, C), f32)
-                    mngx = jnp.min(jnp.where(litb, gx_all, f32(grid_n)))
-                    mxgx = jnp.max(jnp.where(litb, gx_all, -1.0))
-                    mngy = jnp.min(jnp.where(litb, gy_all, f32(grid_n)))
-                    mxgy = jnp.max(jnp.where(litb, gy_all, -1.0))
-                    cx0 = mngx.astype(jnp.int32)
-                    cy0 = mngy.astype(jnp.int32)
-                    nxc = jnp.maximum(mxgx.astype(jnp.int32) - cx0 + 1, 0)
-                    nyc = jnp.maximum(mxgy.astype(jnp.int32) - cy0 + 1, 0)
-                    ncell = jnp.where(mxgx >= 0.0, nxc * nyc, 0)
-
-                    def sdma(slot2, off2):
-                        return pltpu.make_async_copy(
-                            ldata_hbm.at[_l, :, pl.ds(pl.multiple_of(off2, SHW), SHW)],
-                            sbuf.at[slot2],
-                            ssem.at[slot2],
+                # ---- dense cyl/ring pass (small per-tile candidate lists) ------
+                if other and debug_phases >= 3:
+                    @pl.when(othl)
+                    def other_pass():
+                        odma(oslot, tile).wait()
+                        orec = obuf[oslot]                     # (16, KO)
+                        orecT = jnp.swapaxes(orec, 0, 1)       # (KO, 16)
+                        px = orecT[:, 0:1]
+                        py = orecT[:, 1:2]
+                        pz = orecT[:, 2:3]
+                        rad = orecT[:, 3:4]
+                        axx = orecT[:, 8:9]
+                        axy = orecT[:, 9:10]
+                        axz = orecT[:, 10:11]
+                        typ = orecT[:, 11:12]
+                        alen = orecT[:, 12:13]
+                        rad_live = rad > 0.0
+                        dx = state[pl.ds(_DX, 1), :]           # (1, SP)
+                        dy = state[pl.ds(_DY, 1), :]
+                        dz = state[pl.ds(_DZ, 1), :]
+                        bt = state[pl.ds(_BT, 1), :]
+                        if perspective:
+                            ocx = ox - px                      # (KO, 1)
+                            ocy = oy - py
+                            ocz = oz - pz
+                        else:
+                            ocx = state[pl.ds(_OX, 1), :] - px  # (KO, SP)
+                            ocy = state[pl.ds(_OY, 1), :] - py
+                            ocz = state[pl.ds(_OZ, 1), :] - pz
+                        oca = ocx * axx + ocy * axy + ocz * axz
+                        dda = axx * dx + axy * dy + axz * dz   # (KO, SP)
+                        # cylinder body — stable perpendicular-vector form
+                        # (see tracer._cyl_t: the `1 - dda^2` form cancels in f32
+                        # for rays nearly parallel to long thin box edges)
+                        dpx = dx - dda * axx
+                        dpy = dy - dda * axy
+                        dpz = dz - dda * axz
+                        opx = ocx - oca * axx
+                        opy = ocy - oca * axy
+                        opz = ocz - oca * axz
+                        a2 = dpx * dpx + dpy * dpy + dpz * dpz
+                        bq = opx * dpx + opy * dpy + opz * dpz
+                        cq = opx * opx + opy * opy + opz * opz - rad * rad
+                        disc = bq * bq - a2 * cq
+                        live_c = (typ == 1.0) & rad_live & (disc >= 0.0) & (a2 > 1e-12)
+                        inv_a2 = 1.0 / jnp.where(a2 > 1e-12, a2, 1.0)
+                        sq = jnp.sqrt(jnp.where(live_c, disc, 0.0))
+                        t1 = (-bq - sq) * inv_a2
+                        t2 = (-bq + sq) * inv_a2
+                        s1 = oca + t1 * dda
+                        s2 = oca + t2 * dda
+                        ok1 = live_c & (t1 > eps) & (s1 >= 0.0) & (s1 <= alen)
+                        ok2 = live_c & (t2 > eps) & (s2 >= 0.0) & (s2 <= alen)
+                        tc = jnp.where(ok1, t1, jnp.where(ok2, t2, BIG))
+                        # ring (disc in the plane with normal = axis rows)
+                        dn = dda
+                        tr0 = -oca / jnp.where(jnp.abs(dn) > 1e-12, dn, 1.0)
+                        rx = ocx + tr0 * dx
+                        ry = ocy + tr0 * dy
+                        rz = ocz + tr0 * dz
+                        rho2 = rx * rx + ry * ry + rz * rz
+                        okr = (
+                            (typ == 2.0) & rad_live & (jnp.abs(dn) > 1e-12)
+                            & (tr0 > eps) & (rho2 <= rad * rad)
                         )
-
-                    def cell_body(ci, _):
-                        dxc = jax.lax.rem(ci, jnp.maximum(nxc, 1))
-                        dyc = ci // jnp.maximum(nxc, 1)
-                        cgx = (cx0 + dxc).astype(f32)
-                        cgy = (cy0 + dyc).astype(f32)
-                        cell = jnp.clip(
-                            (cy0 + dyc) * grid_n + (cx0 + dxc), 0, grid_n * grid_n - 1
+                        t = jnp.where(okr, tr0, tc)
+                        tmin = jnp.min(t, axis=0, keepdims=True)
+                        better = tmin < bt
+                        is_min = t == tmin
+                        oidx = jax.lax.broadcasted_iota(
+                            jnp.int32, (t.shape[0], 1), 0
+                        ).astype(f32)
+                        omin = jnp.min(
+                            jnp.where(is_min, oidx, f32(t.shape[0])),
+                            axis=0, keepdims=True,
                         )
-                        off0 = loffs_ref[_l * ncells_l + cell]
-                        cnt = lcnt_ref[_l * ncells_l + cell]
-                        nw = (cnt + (SHW - 1)) // SHW
-                        incell = (gx_all == cgx) & (gy_all == cgy) & litb
+                        onehot = jnp.where(
+                            is_min & (oidx == omin), 1.0, 0.0
+                        ).astype(f32)
+                        rec_sel = jax.lax.dot_general(
+                            orec, onehot, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32,
+                        )                                      # (16, SP)
+                        recs[:, :] = jnp.where(better, rec_sel, recs[:, :])
+                        state[pl.ds(_BT, 1), :] = jnp.where(better, tmin, bt)
 
-                        # scan floor: shallowest unblocked selected ray; refreshed
-                        # after each window so newly-blocked rays stop holding it
-                        def floor_now():
-                            selm = incell & (
-                                blocked[pl.ds(0, 1), pl.ds(0, C)] < 0.5
+                # ---- shading prep: surface attributes per sample ---------------
+                def shade_prep(s, _):
+                    dx = srow(_DX, s)
+                    dy = srow(_DY, s)
+                    dz = srow(_DZ, s)
+                    bt = srow(_BT, s)
+                    if perspective and n_peel == 1:
+                        rox, roy, roz = ox, oy, oz
+                    else:
+                        rox = srow(_OX, s)
+                        roy = srow(_OY, s)
+                        roz = srow(_OZ, s)
+                    sl = pl.ds(pl.multiple_of(s * P, P), P)
+                    rwin = recs[pl.ds(3, 1), sl]
+                    missed = (bt >= BIG_DEPTH) | (rwin <= 0.0)
+                    tsafe = jnp.where(missed, 0.0, bt)
+                    hx = rox + tsafe * dx
+                    hy = roy + tsafe * dy
+                    hz = roz + tsafe * dz
+                    nx = hx - recs[pl.ds(0, 1), sl]
+                    ny = hy - recs[pl.ds(1, 1), sl]
+                    nz2 = hz - recs[pl.ds(2, 1), sl]
+                    if other:
+                        # type-selected normal: sphere = radial; cylinder =
+                        # radial minus axis component; ring = plane normal
+                        typ = recs[pl.ds(11, 1), sl]
+                        axx = recs[pl.ds(8, 1), sl]
+                        axy = recs[pl.ds(9, 1), sl]
+                        axz = recs[pl.ds(10, 1), sl]
+                        sax = nx * axx + ny * axy + nz2 * axz
+                        iscyl = typ == 1.0
+                        nx = jnp.where(iscyl, nx - sax * axx, nx)
+                        ny = jnp.where(iscyl, ny - sax * axy, ny)
+                        nz2 = jnp.where(iscyl, nz2 - sax * axz, nz2)
+                        isring = typ == 2.0
+                        nx = jnp.where(isring, axx, nx)
+                        ny = jnp.where(isring, axy, ny)
+                        nz2 = jnp.where(isring, axz, nz2)
+                    inv = jax.lax.rsqrt(
+                        jnp.maximum(nx * nx + ny * ny + nz2 * nz2, 1e-30)
+                    )
+                    nx, ny, nz2 = nx * inv, ny * inv, nz2 * inv
+                    facing = nx * dx + ny * dy + nz2 * dz
+                    flip = jnp.where(facing > 0.0, -1.0, 1.0)
+                    nx, ny, nz2 = nx * flip, ny * flip, nz2 * flip
+                    set_srow(_CR, s, recs[pl.ds(4, 1), sl])
+                    set_srow(_CG, s, recs[pl.ds(5, 1), sl])
+                    set_srow(_CB, s, recs[pl.ds(6, 1), sl])
+                    if n_peel > 1:
+                        set_srow(_ALPHA, s, recs[pl.ds(7, 1), sl])
+                    set_srow(_MISS, s, jnp.where(missed, f32(1.0), f32(0.0)))
+                    # rows 0-7 (dirs / ortho origins) retire into normal + hit
+                    # point — every read above already happened
+                    set_srow(_NX, s, nx)
+                    set_srow(_NY, s, ny)
+                    set_srow(_NZ, s, nz2)
+                    set_srow(_HX, s, hx)
+                    set_srow(_HY, s, hy)
+                    set_srow(_HZ, s, hz)
+                    return 0
+
+                if debug_phases >= 4:
+                    jax.lax.fori_loop(0, S, shade_prep, 0)
+                    state[pl.ds(_SH, 1), :] = jnp.zeros((1, SP), f32)
+
+                # ---- per-light loop: diffuse + shadow filter, accumulated ------
+                # Each light l reads its scalars from lparams and its CSR slice;
+                # AO sky directions are just additional lights with ambient 0 —
+                # the expensive closest-hit traversal above runs ONCE for all of
+                # them (vs one full megakernel launch per direction before).
+                for _l in range(L if debug_phases >= 4 else 0):
+                    lb16 = _l * 16
+                    lx = lparams_ref[lb16 + 0]
+                    ly = lparams_ref[lb16 + 1]
+                    lz = lparams_ref[lb16 + 2]
+                    e1x = lparams_ref[lb16 + 3]
+                    e1y = lparams_ref[lb16 + 4]
+                    e1z = lparams_ref[lb16 + 5]
+                    e2x = lparams_ref[lb16 + 6]
+                    e2y = lparams_ref[lb16 + 7]
+                    e2z = lparams_ref[lb16 + 8]
+                    lorgu = lparams_ref[lb16 + 9]
+                    lorgv = lparams_ref[lb16 + 10]
+                    inv_cell = lparams_ref[lb16 + 11]
+                    lightcol = lparams_ref[lb16 + 12]
+
+                    nx_all = state[pl.ds(_NX, 1), :]
+                    ny_all = state[pl.ds(_NY, 1), :]
+                    nz_all = state[pl.ds(_NZ, 1), :]
+                    hx_all = state[pl.ds(_HX, 1), :]
+                    hy_all = state[pl.ds(_HY, 1), :]
+                    hz_all = state[pl.ds(_HZ, 1), :]
+                    miss_all = state[pl.ds(_MISS, 1), :]
+                    inten = nx_all * lx + ny_all * ly + nz_all * lz
+                    litb_full = (inten > MINCONTRIB) & (miss_all < 0.5)
+                    lit_all = jnp.where(litb_full, f32(1.0), f32(0.0))
+                    # shared-occlusion AO: sky-light (l > 0) visibility is
+                    # evaluated on AA sample 0 only and reused for every sample
+                    # (AO is low-frequency; the primary light keeps per-sample
+                    # shadows).  Cuts the shadow sweep compute S-fold.
+                    C = P if (ao_shared and _l > 0) else SP
+                    if shadows and debug_phases >= 5:
+                        hx_s = hx_all[:, :C]
+                        hy_s = hy_all[:, :C]
+                        hz_s = hz_all[:, :C]
+                        litb = litb_full[:, :C]
+                        lit_s = lit_all[:, :C]
+                        u_all = (
+                            hx_s * e1x + hy_s * e1y + hz_s * e1z - lorgu
+                        )
+                        v_all = (
+                            hx_s * e2x + hy_s * e2y + hz_s * e2z - lorgv
+                        )
+                        tau_all = hx_s * lx + hy_s * ly + hz_s * lz
+                        tau_eps = tau_all + eps
+                        gx_all = jnp.clip(jnp.floor(u_all * inv_cell), 0, grid_n - 1)
+                        gy_all = jnp.clip(jnp.floor(v_all * inv_cell), 0, grid_n - 1)
+                        blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.zeros((1, C), f32)
+                        mngx = jnp.min(jnp.where(litb, gx_all, f32(grid_n)))
+                        mxgx = jnp.max(jnp.where(litb, gx_all, -1.0))
+                        mngy = jnp.min(jnp.where(litb, gy_all, f32(grid_n)))
+                        mxgy = jnp.max(jnp.where(litb, gy_all, -1.0))
+                        cx0 = mngx.astype(jnp.int32)
+                        cy0 = mngy.astype(jnp.int32)
+                        nxc = jnp.maximum(mxgx.astype(jnp.int32) - cx0 + 1, 0)
+                        nyc = jnp.maximum(mxgy.astype(jnp.int32) - cy0 + 1, 0)
+                        ncell = jnp.where(mxgx >= 0.0, nxc * nyc, 0)
+
+                        def sdma(slot2, off2):
+                            return pltpu.make_async_copy(
+                                ldata_hbm.at[_l, :, pl.ds(pl.multiple_of(off2, SHW), SHW)],
+                                sbuf.at[slot2],
+                                ssem.at[slot2],
                             )
-                            return jnp.min(jnp.where(selm, tau_all, BIG))
 
-                        mintau0 = floor_now()
+                        def cell_body(ci, _):
+                            dxc = jax.lax.rem(ci, jnp.maximum(nxc, 1))
+                            dyc = ci // jnp.maximum(nxc, 1)
+                            cgx = (cx0 + dxc).astype(f32)
+                            cgy = (cy0 + dyc).astype(f32)
+                            cell = jnp.clip(
+                                (cy0 + dyc) * grid_n + (cx0 + dxc), 0, grid_n * grid_n - 1
+                            )
+                            off0 = loffs_ref[_l * ncells_l + cell]
+                            cnt = lcnt_ref[_l * ncells_l + cell]
+                            nw = (cnt + (SHW - 1)) // SHW
+                            incell = (gx_all == cgx) & (gy_all == cgy) & litb
 
-                        def wcond(wc):
-                            w, kmax, mintau = wc
-                            return (w < nw) & (kmax > mintau + eps)
+                            # scan floor: shallowest unblocked selected ray; refreshed
+                            # after each window so newly-blocked rays stop holding it
+                            def floor_now():
+                                thr = 0.999 if n_peel > 1 else 0.5
+                                selm = incell & (
+                                    blocked[pl.ds(0, 1), pl.ds(0, C)] < thr
+                                )
+                                return jnp.min(jnp.where(selm, tau_all, BIG))
 
-                        def wbody(wc):
-                            w, kmax, mintau = wc
-                            slot2 = jax.lax.rem(w, jnp.int32(2))
-                            nxt2 = jax.lax.rem(w + jnp.int32(1), jnp.int32(2))
+                            mintau0 = floor_now()
 
-                            @pl.when(w + 1 < nw)
+                            def wcond(wc):
+                                w, kmax, mintau = wc
+                                return (w < nw) & (kmax > mintau + eps)
+
+                            def wbody(wc):
+                                w, kmax, mintau = wc
+                                slot2 = jax.lax.rem(w, jnp.int32(2))
+                                nxt2 = jax.lax.rem(w + jnp.int32(1), jnp.int32(2))
+
+                                @pl.when(w + 1 < nw)
+                                def _():
+                                    sdma(nxt2, off0 + (w + 1) * SHW).start()
+
+                                sdma(slot2, off0 + w * SHW).wait()
+                                srec = sbuf[slot2]                 # (8, SHW)
+                                srecT = jnp.swapaxes(srec, 0, 1)   # (SHW, 8)
+                                cu = srecT[:, 0:1]
+                                cv = srecT[:, 1:2]
+                                ck = srecT[:, 2:3]
+                                sr = srecT[:, 3:4]
+                                srlive = sr > 0.0
+                                du = cu - u_all                    # (SHW, SP)
+                                dv = cv - v_all
+                                s2 = sr * sr - (du * du + dv * dv)
+                                # occludes iff sqrt(s2) > tau + eps - ck; square both
+                                # sides instead of paying a (SHW, SP) sqrt
+                                q = tau_eps - ck
+                                occ = (
+                                    (s2 > 0.0) & srlive
+                                    & ((q < 0.0) | (s2 > q * q))
+                                )
+                                if n_peel > 1:
+                                    # transparency-filtered shadows: each
+                                    # occluder multiplies by (1 - alpha);
+                                    # near-opaque (>= 0.99999, api.c:918)
+                                    # blocks fully.  blocked = 1 - transmit.
+                                    sal = srecT[:, 5:6]
+                                    fac = jnp.where(
+                                        occ,
+                                        jnp.where(sal >= 0.99999, 0.0,
+                                                  1.0 - sal),
+                                        1.0,
+                                    )
+                                    att = jnp.prod(fac, axis=0, keepdims=True)
+                                    att = jnp.where(incell, att, 1.0)
+                                    blocked[pl.ds(0, 1), pl.ds(0, C)] = (
+                                        1.0
+                                        - (1.0 - blocked[pl.ds(0, 1),
+                                                         pl.ds(0, C)]) * att
+                                    )
+                                else:
+                                    occf = jnp.max(
+                                        jnp.where(occ, f32(1.0), f32(0.0)),
+                                        axis=0, keepdims=True,
+                                    )
+                                    selg = jnp.where(incell, f32(1.0), f32(0.0))
+                                    blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.maximum(
+                                        blocked[pl.ds(0, 1), pl.ds(0, C)], selg * occf
+                                    )
+                                nxt_kmax = srec[4, SHW - 1]
+                                return w + 1, nxt_kmax, floor_now()
+
+                            @pl.when((cnt > 0) & (mintau0 < BIG_DEPTH))
                             def _():
-                                sdma(nxt2, off0 + (w + 1) * SHW).start()
+                                sdma(0, off0).start()
+                                wf, _, _ = jax.lax.while_loop(
+                                    wcond, wbody, (jnp.int32(0), f32(BIG), mintau0)
+                                )
 
-                            sdma(slot2, off0 + w * SHW).wait()
-                            srec = sbuf[slot2]                 # (8, SHW)
-                            srecT = jnp.swapaxes(srec, 0, 1)   # (SHW, 8)
-                            cu = srecT[:, 0:1]
-                            cv = srecT[:, 1:2]
-                            ck = srecT[:, 2:3]
-                            sr = srecT[:, 3:4]
-                            srlive = sr > 0.0
-                            du = cu - u_all                    # (SHW, SP)
-                            dv = cv - v_all
-                            s2 = sr * sr - (du * du + dv * dv)
-                            # occludes iff sqrt(s2) > tau + eps - ck; square both
-                            # sides instead of paying a (SHW, SP) sqrt
-                            q = tau_eps - ck
-                            occ = (
-                                (s2 > 0.0) & srlive
-                                & ((q < 0.0) | (s2 > q * q))
-                            )
-                            occf = jnp.max(
-                                jnp.where(occ, f32(1.0), f32(0.0)), axis=0, keepdims=True
-                            )
-                            selg = jnp.where(incell, f32(1.0), f32(0.0))
-                            blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.maximum(
-                                blocked[pl.ds(0, 1), pl.ds(0, C)], selg * occf
-                            )
-                            nxt_kmax = srec[4, SHW - 1]
-                            return w + 1, nxt_kmax, floor_now()
+                                # drain the in-flight DMA the loop left unconsumed
+                                @pl.when(wf < nw)
+                                def _():
+                                    sdma(jax.lax.rem(wf, jnp.int32(2)),
+                                         off0 + wf * SHW).wait()
 
-                        @pl.when((cnt > 0) & (mintau0 < BIG_DEPTH))
-                        def _():
-                            sdma(0, off0).start()
-                            wf, _, _ = jax.lax.while_loop(
-                                wcond, wbody, (jnp.int32(0), f32(BIG), mintau0)
+                            return 0
+
+                        jax.lax.fori_loop(0, ncell, cell_body, 0)
+
+                        # ---- dense cyl/ring occluders (global list, tile-culled) ----
+                        if other and n_occ > 0:
+                            occT = jnp.swapaxes(occ_ref[_l], 0, 1)   # (KG, 16)
+                            umin_t = jnp.min(jnp.where(litb, u_all, BIG))
+                            umax_t = jnp.max(jnp.where(litb, u_all, -BIG))
+                            vmin_t = jnp.min(jnp.where(litb, v_all, BIG))
+                            vmax_t = jnp.max(jnp.where(litb, v_all, -BIG))
+                            taumin_t = jnp.min(jnp.where(litb, tau_all, BIG))
+                            # segment-vs-rect cull in light space: distance from the
+                            # tile's uv-rect centre to the occluder's 2D segment
+                            gu0 = occT[:, 4:5]
+                            gv0 = occT[:, 5:6]
+                            gu1 = occT[:, 13:14]
+                            gv1 = occT[:, 14:15]
+                            grb = occT[:, 6:7]
+                            gkey = occT[:, 7:8]
+                            galive = occT[:, 3:4] > 0.0
+                            ucx = 0.5 * (umin_t + umax_t)
+                            vcx = 0.5 * (vmin_t + vmax_t)
+                            bx = gu1 - gu0
+                            by = gv1 - gv0
+                            wx = ucx - gu0
+                            wy = vcx - gv0
+                            tseg = jnp.clip(
+                                (wx * bx + wy * by)
+                                / jnp.maximum(bx * bx + by * by, 1e-12),
+                                0.0, 1.0,
                             )
+                            dxs = wx - tseg * bx
+                            dys = wy - tseg * by
+                            halfdiag = 0.5 * jnp.sqrt(
+                                (umax_t - umin_t) ** 2 + (vmax_t - vmin_t) ** 2
+                            )
+                            lim = grb + halfdiag + eps
+                            hit_tile = (
+                                galive
+                                & (dxs * dxs + dys * dys <= lim * lim)
+                                & (gkey > taumin_t + eps)
+                            )
+                            any_occ = jnp.max(jnp.where(hit_tile, 1.0, 0.0))
 
-                            # drain the in-flight DMA the loop left unconsumed
-                            @pl.when(wf < nw)
-                            def _():
-                                sdma(jax.lax.rem(wf, jnp.int32(2)),
-                                     off0 + wf * SHW).wait()
+                            @pl.when((any_occ > 0.0) & (mxgx >= 0.0))
+                            def dense_occluders():
+                                px = occT[:, 0:1]
+                                py = occT[:, 1:2]
+                                pz = occT[:, 2:3]
+                                rad = occT[:, 3:4]
+                                axx = occT[:, 8:9]
+                                axy = occT[:, 9:10]
+                                axz = occT[:, 10:11]
+                                typ = occT[:, 11:12]
+                                alen = occT[:, 12:13]
+                                hx = hx_s
+                                hy = hy_s
+                                hz = hz_s
+                                ocx = hx - px                      # (KG, SP)
+                                ocy = hy - py
+                                ocz = hz - pz
+                                oca = ocx * axx + ocy * axy + ocz * axz
+                                dda = axx * lx + axy * ly + axz * lz  # (KG, 1)
+                                # stable perpendicular-vector form (see tracer._cyl_t)
+                                dpx = lx - dda * axx                  # (KG, 1)
+                                dpy = ly - dda * axy
+                                dpz = lz - dda * axz
+                                opx = ocx - oca * axx                 # (KG, SP)
+                                opy = ocy - oca * axy
+                                opz = ocz - oca * axz
+                                a2 = dpx * dpx + dpy * dpy + dpz * dpz
+                                bq = opx * dpx + opy * dpy + opz * dpz
+                                cq = opx * opx + opy * opy + opz * opz - rad * rad
+                                disc = bq * bq - a2 * cq
+                                live_c = (
+                                    hit_tile & (typ == 1.0) & (disc >= 0.0) & (a2 > 1e-12)
+                                )
+                                inv_a2 = 1.0 / jnp.where(a2 > 1e-12, a2, 1.0)
+                                sq = jnp.sqrt(jnp.where(live_c, disc, 0.0))
+                                t1 = (-bq - sq) * inv_a2
+                                t2 = (-bq + sq) * inv_a2
+                                s1 = oca + t1 * dda
+                                s2 = oca + t2 * dda
+                                occ_c = live_c & (
+                                    ((t1 > eps) & (s1 >= 0.0) & (s1 <= alen))
+                                    | ((t2 > eps) & (s2 >= 0.0) & (s2 <= alen))
+                                )
+                                dn = dda
+                                tr0 = -oca / jnp.where(jnp.abs(dn) > 1e-12, dn, 1.0)
+                                rx = ocx + tr0 * lx
+                                ry = ocy + tr0 * ly
+                                rz = ocz + tr0 * lz
+                                rho2 = rx * rx + ry * ry + rz * rz
+                                occ_r = (
+                                    hit_tile & (typ == 2.0) & (jnp.abs(dn) > 1e-12)
+                                    & (tr0 > eps) & (rho2 <= rad * rad)
+                                )
+                                occf = jnp.max(
+                                    jnp.where(occ_c | occ_r, f32(1.0), f32(0.0)),
+                                    axis=0, keepdims=True,
+                                )
+                                blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.maximum(
+                                    blocked[pl.ds(0, 1), pl.ds(0, C)],
+                                    lit_s * occf,
+                                )
 
+                    # per-light diffuse accumulation (full width, all samples)
+                    if shadows and debug_phases >= 5:
+                        if C == SP:
+                            filt = 1.0 - blocked[pl.ds(0, 1), :]
+                        else:
+                            b0 = blocked[pl.ds(0, 1), pl.ds(0, P)]
+                            filt = 1.0 - jnp.concatenate([b0] * S, axis=1)
+                    else:
+                        filt = f32(1.0)
+                    state[pl.ds(_SH, 1), :] = (
+                        state[pl.ds(_SH, 1), :]
+                        + lit_all * inten * lightcol * filt
+                    )
+
+
+                if n_peel > 1:
+                    def accum_peel(s, _):
+                        missed = srow(_MISS, s) > 0.5
+                        tsafe = jnp.where(missed, f32(0.0), srow(_BT, s))
+                        set_srow(_CUMT, s, srow(_CUMT, s) + tsafe + eps)
+                        shade = 0.8 * srow(_SH, s) + ambient
+                        cr = jnp.where(missed, bgr, srow(_CR, s) * shade)
+                        cg = jnp.where(missed, bgg, srow(_CG, s) * shade)
+                        cb = jnp.where(missed, bgb, srow(_CB, s) * shade)
+                        a = jnp.where(missed, f32(1.0), srow(_ALPHA, s))
+                        w = srow(_WT, s)
+                        set_srow(_AR, s, srow(_AR, s) + w * a * cr)
+                        set_srow(_AG, s, srow(_AG, s) + w * a * cg)
+                        set_srow(_AB, s, srow(_AB, s) + w * a * cb)
+                        set_srow(_WT, s, w * (1.0 - a))
                         return 0
 
-                    jax.lax.fori_loop(0, ncell, cell_body, 0)
+                    jax.lax.fori_loop(0, S, accum_peel, 0)
 
-                    # ---- dense cyl/ring occluders (global list, tile-culled) ----
-                    if other and n_occ > 0:
-                        occT = jnp.swapaxes(occ_ref[_l], 0, 1)   # (KG, 16)
-                        umin_t = jnp.min(jnp.where(litb, u_all, BIG))
-                        umax_t = jnp.max(jnp.where(litb, u_all, -BIG))
-                        vmin_t = jnp.min(jnp.where(litb, v_all, BIG))
-                        vmax_t = jnp.max(jnp.where(litb, v_all, -BIG))
-                        taumin_t = jnp.min(jnp.where(litb, tau_all, BIG))
-                        # segment-vs-rect cull in light space: distance from the
-                        # tile's uv-rect centre to the occluder's 2D segment
-                        gu0 = occT[:, 4:5]
-                        gv0 = occT[:, 5:6]
-                        gu1 = occT[:, 13:14]
-                        gv1 = occT[:, 14:15]
-                        grb = occT[:, 6:7]
-                        gkey = occT[:, 7:8]
-                        galive = occT[:, 3:4] > 0.0
-                        ucx = 0.5 * (umin_t + umax_t)
-                        vcx = 0.5 * (vmin_t + vmax_t)
-                        bx = gu1 - gu0
-                        by = gv1 - gv0
-                        wx = ucx - gu0
-                        wy = vcx - gv0
-                        tseg = jnp.clip(
-                            (wx * bx + wy * by)
-                            / jnp.maximum(bx * bx + by * by, 1e-12),
-                            0.0, 1.0,
-                        )
-                        dxs = wx - tseg * bx
-                        dys = wy - tseg * by
-                        halfdiag = 0.5 * jnp.sqrt(
-                            (umax_t - umin_t) ** 2 + (vmax_t - vmin_t) ** 2
-                        )
-                        lim = grb + halfdiag + eps
-                        hit_tile = (
-                            galive
-                            & (dxs * dxs + dys * dys <= lim * lim)
-                            & (gkey > taumin_t + eps)
-                        )
-                        any_occ = jnp.max(jnp.where(hit_tile, 1.0, 0.0))
-
-                        @pl.when((any_occ > 0.0) & (mxgx >= 0.0))
-                        def dense_occluders():
-                            px = occT[:, 0:1]
-                            py = occT[:, 1:2]
-                            pz = occT[:, 2:3]
-                            rad = occT[:, 3:4]
-                            axx = occT[:, 8:9]
-                            axy = occT[:, 9:10]
-                            axz = occT[:, 10:11]
-                            typ = occT[:, 11:12]
-                            alen = occT[:, 12:13]
-                            hx = hx_s
-                            hy = hy_s
-                            hz = hz_s
-                            ocx = hx - px                      # (KG, SP)
-                            ocy = hy - py
-                            ocz = hz - pz
-                            oca = ocx * axx + ocy * axy + ocz * axz
-                            dda = axx * lx + axy * ly + axz * lz  # (KG, 1)
-                            # stable perpendicular-vector form (see tracer._cyl_t)
-                            dpx = lx - dda * axx                  # (KG, 1)
-                            dpy = ly - dda * axy
-                            dpz = lz - dda * axz
-                            opx = ocx - oca * axx                 # (KG, SP)
-                            opy = ocy - oca * axy
-                            opz = ocz - oca * axz
-                            a2 = dpx * dpx + dpy * dpy + dpz * dpz
-                            bq = opx * dpx + opy * dpy + opz * dpz
-                            cq = opx * opx + opy * opy + opz * opz - rad * rad
-                            disc = bq * bq - a2 * cq
-                            live_c = (
-                                hit_tile & (typ == 1.0) & (disc >= 0.0) & (a2 > 1e-12)
-                            )
-                            inv_a2 = 1.0 / jnp.where(a2 > 1e-12, a2, 1.0)
-                            sq = jnp.sqrt(jnp.where(live_c, disc, 0.0))
-                            t1 = (-bq - sq) * inv_a2
-                            t2 = (-bq + sq) * inv_a2
-                            s1 = oca + t1 * dda
-                            s2 = oca + t2 * dda
-                            occ_c = live_c & (
-                                ((t1 > eps) & (s1 >= 0.0) & (s1 <= alen))
-                                | ((t2 > eps) & (s2 >= 0.0) & (s2 <= alen))
-                            )
-                            dn = dda
-                            tr0 = -oca / jnp.where(jnp.abs(dn) > 1e-12, dn, 1.0)
-                            rx = ocx + tr0 * lx
-                            ry = ocy + tr0 * ly
-                            rz = ocz + tr0 * lz
-                            rho2 = rx * rx + ry * ry + rz * rz
-                            occ_r = (
-                                hit_tile & (typ == 2.0) & (jnp.abs(dn) > 1e-12)
-                                & (tr0 > eps) & (rho2 <= rad * rad)
-                            )
-                            occf = jnp.max(
-                                jnp.where(occ_c | occ_r, f32(1.0), f32(0.0)),
-                                axis=0, keepdims=True,
-                            )
-                            blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.maximum(
-                                blocked[pl.ds(0, 1), pl.ds(0, C)],
-                                lit_s * occf,
-                            )
-
-                # per-light diffuse accumulation (full width, all samples)
-                if shadows and debug_phases >= 5:
-                    if C == SP:
-                        filt = 1.0 - blocked[pl.ds(0, 1), :]
-                    else:
-                        b0 = blocked[pl.ds(0, 1), pl.ds(0, P)]
-                        filt = 1.0 - jnp.concatenate([b0] * S, axis=1)
-                else:
-                    filt = f32(1.0)
-                state[pl.ds(_SH, 1), :] = (
-                    state[pl.ds(_SH, 1), :]
-                    + lit_all * inten * lightcol * filt
-                )
+            if n_peel > 1:
+                state[pl.ds(_WT, 1), :] = jnp.ones((1, SP), f32)
+                for _rr in (_AR, _AG, _AB):
+                    state[pl.ds(_rr, 1), :] = jnp.zeros((1, SP), f32)
+            run_peel(0)
+            for _pl2 in range(1, n_peel):
+                @pl.when(jnp.max(state[pl.ds(_WT, 1), :]) > 1e-4)
+                def _(p=_pl2):
+                    run_peel(p)
 
             # ---- final shade + AA mean --------------------------------------
             def accum(s, acc):
                 ar, ag, ab = acc
+                if n_peel > 1:
+                    # peeled accumulators + residual weight seeing background
+                    w = srow(_WT, s)
+                    return (ar + srow(_AR, s) + w * bgr,
+                            ag + srow(_AG, s) + w * bgg,
+                            ab + srow(_AB, s) + w * bgb)
                 missed = srow(_MISS, s) > 0.5
                 shade = 0.8 * srow(_SH, s) + ambient
                 cr = srow(_CR, s) * shade
@@ -820,7 +914,7 @@ def _mega_kernel(
     static_argnames=(
         "S", "width", "height", "tiles_x", "tiles_y", "grid_n",
         "eps", "perspective", "shadows", "interpret", "debug_phases",
-        "quantized", "n_occ", "ao_shared",
+        "quantized", "n_occ", "ao_shared", "n_peel",
     ),
 )
 def render_image_mega(
@@ -849,6 +943,7 @@ def render_image_mega(
     n_occ: int = 0,
     extra_lights=None,   # list of (lparams_row(16,), ldata, loffs, lcnt, occ)
     ao_shared: bool = False,
+    n_peel: int = 1,     # transparency-peeling budget (1 = opaque fast path)
 ):
     """Full-frame fused render.
 
@@ -863,6 +958,10 @@ def render_image_mega(
     on-device serving path — keeps the host transfer at 3 bytes/pixel)."""
     nb, nchunks, _, CH = chunk_data.shape
     assert nb == tiles_x * tiles_y
+    assert n_peel == 1 or other_data is None, (
+        "transparency peeling covers sphere-only scenes; cyl/ring alpha "
+        "scenes use the exact tracer"
+    )
     # the kernel is f32 by design; upstream may hold f64 (CPU x64 paths)
     chunk_data = jnp.asarray(chunk_data, jnp.float32)
     zmin = jnp.asarray(zmin, jnp.float32)
@@ -932,7 +1031,7 @@ def render_image_mega(
         grid_n=grid_n, eps=eps, perspective=perspective, shadows=shadows,
         other=other, n_occ=(n_occ if shadows else 0), ZC=ZC,
         L=L, ncells_l=ncells_l, debug_phases=debug_phases,
-        ao_shared=ao_shared,
+        ao_shared=ao_shared, n_peel=n_peel,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -949,7 +1048,7 @@ def render_image_mega(
         scratch_shapes=[
             pltpu.VMEM((NBUF, nchunks, 8, CH), jnp.float32),
             pltpu.VMEM((2, 16, KO), jnp.float32),
-            pltpu.VMEM((16, S * P), jnp.float32),
+            pltpu.VMEM((20 if n_peel > 1 else 16, S * P), jnp.float32),
             pltpu.VMEM((16 if other else 8, S * P), jnp.float32),
             pltpu.VMEM((1, S * P), jnp.float32),
             pltpu.VMEM((2, 8, SHW), jnp.float32),

@@ -356,7 +356,6 @@ class TachyonRender:
                     _t0 = _mark("accel_build", _t0)
                 use_pallas = (
                     self.use_pallas
-                    and not cfg.transparency
                     and bins.sph_chunks is not None
                 )
                 sphere_only = bins.cyl is None and bins.ring is None
@@ -385,8 +384,11 @@ class TachyonRender:
                     and (sphere_only
                          or not (cfg.shadows_enabled or cfg.ao_enabled)
                          or n_cylring <= 8192)
+                    # transparency peeling runs in the megakernel for
+                    # sphere-only scenes; alpha cyl/ring scenes fall back
+                    and (not cfg.transparency or sphere_only)
                 )
-                if cfg.ao_enabled and not use_mega:
+                if (cfg.ao_enabled or cfg.transparency) and not use_mega:
                     # fast AO needs the megakernel; other tiled paths don't
                     # do AO — brute exact path
                     img_f = render_image(
@@ -538,6 +540,7 @@ class TachyonRender:
                         quantized=device_output,
                         extra_lights=extra_lights,
                         ao_shared=_ao_shared,
+                        n_peel=(cfg.max_trans if cfg.transparency else 1),
                         **other_kw,
                     )
                     if device_output:

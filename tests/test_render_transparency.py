@@ -1,0 +1,141 @@
+"""Transparency peeling parity: megakernel (n_peel) vs the exact tracer.
+
+The exact tracer implements RT_TRANS_VMD peeling (tracer.py:280-296,
+reference shader semantics TachyonOptiXShaders.cu:3089-3180 transcnt
+budget); the megakernel's run_peel loop must reproduce it on sphere-only
+scenes, including transparency-filtered shadows ((1 - alpha) products,
+intersect.c:138-141).  AA off -> both paths trace identical rays.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mdapy_tpu.render.scene import build_scene
+from mdapy_tpu.render.camera import camera_frame, preset_camera
+from mdapy_tpu.render.accel import (
+    build_light_bins, build_light_records, build_screen_bins,
+)
+from mdapy_tpu.render.pallas_kernels import gather_chunk_data
+from mdapy_tpu.render.tracer import RenderConfig, render_image
+from mdapy_tpu.render.megakernel import build_mega_params, render_image_mega
+
+W, H = 96, 80
+
+
+def _alpha_scene(n=3, seed=5):
+    a = 3.615
+    frac = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.mgrid[0:n, 0:n, 0:n].reshape(3, -1).T
+    pos = (frac[None] + cells[:, None]).reshape(-1, 3) * a
+    rng = np.random.default_rng(seed)
+    rgb = rng.uniform(0.2, 1.0, (len(pos), 3))
+    # mixed alphas: ~half translucent, rest opaque
+    alpha = np.where(rng.uniform(size=len(pos)) < 0.5,
+                     rng.uniform(0.3, 0.7, len(pos)), 1.0)
+    colors = np.c_[rgb, alpha].astype(np.float32)
+    radii = np.full(len(pos), 1.28, np.float32)
+    return pos, colors, radii
+
+
+def _render_pair(preset, shadows, max_trans=4):
+    pos, colors, radii = _alpha_scene()
+    cam = preset_camera(preset, pos, max_radius=float(radii.max()))
+    scene = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32),
+        build_scene(pos, colors, radii, dtype=np.float32),
+    )
+    frame = camera_frame(cam, W, H)
+    persp = bool(frame["perspective"])
+    cfg = RenderConfig(
+        aa_samples=0, aa_enabled=False, ao_samples=0, ao_enabled=False,
+        shadows_enabled=shadows, transparency=True, max_trans=max_trans,
+    )
+    ref = np.asarray(render_image(
+        scene, frame["origin"], frame["lowleft"], frame["iplaneright"],
+        frame["iplaneup"], frame["view"], frame["light_dir"],
+        cfg, W, H, persp, 0, chunk=W * H,
+    ))
+    bins = build_screen_bins(scene, frame, W, H)
+    lb = build_light_bins(
+        scene, np.asarray(frame["light_dir"], np.float32), grid=48
+    )
+    cd = gather_chunk_data(
+        bins.sph_chunks, scene.sph_center, scene.sph_radius, scene.sph_color
+    )
+    lrec = build_light_records(lb, scene) if shadows else (None, None, None)
+    lo = np.asarray(jnp.min(scene.sph_center - scene.sph_radius[:, None], 0))
+    hi = np.asarray(jnp.max(scene.sph_center + scene.sph_radius[:, None], 0))
+    params = build_mega_params(frame, lb, lo, hi, cfg)
+    img = np.asarray(render_image_mega(
+        cd, bins.sph_zmin, lrec[0], lrec[1], lrec[2], params, 0,
+        S=1, width=W, height=H,
+        tiles_x=bins.tiles_x, tiles_y=bins.tiles_y,
+        grid_n=48, eps=cfg.eps, perspective=persp, shadows=shadows,
+        interpret=True, n_peel=max_trans,
+    ))
+    return ref, img
+
+
+@pytest.mark.parametrize("shadows", [False, True])
+def test_transparency_peel_perspective(shadows):
+    ref, img = _render_pair("perspective", shadows)
+    d = np.abs(img - ref)
+    assert int((d.max(axis=2) > 2e-3).sum()) <= 3
+    assert d.mean() < 2e-4
+
+
+def test_transparency_peel_orthographic():
+    ref, img = _render_pair("top", True)
+    d = np.abs(img - ref)
+    assert int((d.max(axis=2) > 2e-3).sum()) <= 3
+
+
+def test_opaque_scene_unchanged_by_peel_budget():
+    """On a fully opaque scene peel budget > 1 must be a no-op."""
+    pos, colors, radii = _alpha_scene()
+    colors[:, 3] = 1.0
+    cam = preset_camera("perspective", pos, max_radius=1.28)
+    scene = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32),
+        build_scene(pos, colors, radii, dtype=np.float32),
+    )
+    frame = camera_frame(cam, W, H)
+    cfg = RenderConfig(aa_samples=0, aa_enabled=False, ao_enabled=False,
+                       shadows_enabled=True)
+    bins = build_screen_bins(scene, frame, W, H)
+    lb = build_light_bins(
+        scene, np.asarray(frame["light_dir"], np.float32), grid=48
+    )
+    cd = gather_chunk_data(
+        bins.sph_chunks, scene.sph_center, scene.sph_radius, scene.sph_color
+    )
+    lrec = build_light_records(lb, scene)
+    lo = np.asarray(jnp.min(scene.sph_center - scene.sph_radius[:, None], 0))
+    hi = np.asarray(jnp.max(scene.sph_center + scene.sph_radius[:, None], 0))
+    params = build_mega_params(frame, lb, lo, hi, cfg)
+    kw = dict(
+        S=1, width=W, height=H, tiles_x=bins.tiles_x, tiles_y=bins.tiles_y,
+        grid_n=48, eps=cfg.eps, perspective=True, shadows=True,
+        interpret=True,
+    )
+    img1 = np.asarray(render_image_mega(
+        cd, bins.sph_zmin, lrec[0], lrec[1], lrec[2], params, 0, **kw
+    ))
+    img4 = np.asarray(render_image_mega(
+        cd, bins.sph_zmin, lrec[0], lrec[1], lrec[2], params, 0,
+        n_peel=4, **kw
+    ))
+    np.testing.assert_allclose(img4, img1, atol=1e-5)
+
+
+def test_transparent_scene_through_public_render():
+    """TachyonRender routes alpha sphere scenes through the megakernel."""
+    import mdapy_tpu as mp
+
+    pos, colors, radii = _alpha_scene(2)
+    img = mp.TachyonRender(backend="cpu").render(
+        pos, colors, radii, width=W, height=H
+    )
+    assert img.shape == (H, W, 4) and img[..., :3].std() > 1
