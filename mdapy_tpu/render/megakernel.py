@@ -1089,3 +1089,55 @@ def render_image_mega(
             jnp.round(img * 255.0), 0.0, 255.0
         ).astype(jnp.uint8)
     return img
+
+
+def render_image_mega_banded(
+    scene, bins, ldata, loffs, lcnt, params, seed,
+    *,
+    S: int, width: int, height: int, grid_n: int, eps: float,
+    perspective: bool, shadows: bool, interpret: bool = False,
+    quantized: bool = False, extra_lights=None, ao_shared: bool = False,
+    n_peel: int = 1, max_band_bytes: int = 2 << 30,
+):
+    """Sequential tile-row-band driver for scenes whose materialized
+    candidate records exceed the HBM budget (a 10M-atom 1080p frustum
+    duplicates ~6.7 GB of records).  Each band gathers its own slice of
+    chunk records, renders with the same fused kernel (image-plane origin
+    shifted to the band, as in distributed.render_image_mega_sharded), and
+    the band images stack top-down.  Trades one gather per band per frame
+    for bounded memory — the multi-host path amortizes the same slicing
+    across devices instead."""
+    import jax.numpy as jnp
+
+    from .pallas_kernels import gather_chunk_data
+
+    tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
+    nb, nchunks, CH = bins.sph_chunks.shape
+    bytes_per_row = tiles_x * nchunks * 8 * CH * 4
+    rows_band = max(1, min(tiles_y, max_band_bytes // max(bytes_per_row, 1)))
+    while tiles_y % rows_band:
+        rows_band -= 1
+    n_bands = tiles_y // rows_band
+    band_h = rows_band * TILE_PX
+    params = jnp.asarray(params, jnp.float32)
+    imgs = []
+    for b in range(n_bands - 1, -1, -1):   # top band first
+        b0, b1 = b * rows_band * tiles_x, (b + 1) * rows_band * tiles_x
+        cd = gather_chunk_data(
+            bins.sph_chunks[b0:b1], scene.sph_center, scene.sph_radius,
+            scene.sph_color,
+        )
+        p = params.at[3:6].add(
+            jnp.float32(b * band_h) * params[9:12]
+        )
+        imgs.append(render_image_mega(
+            cd, bins.sph_zmin[b0:b1], ldata, loffs, lcnt, p, seed,
+            S=S, width=width, height=band_h,
+            tiles_x=tiles_x, tiles_y=rows_band, grid_n=grid_n, eps=eps,
+            perspective=perspective, shadows=shadows, interpret=interpret,
+            quantized=quantized, extra_lights=extra_lights,
+            ao_shared=ao_shared, n_peel=n_peel,
+        ))
+    img = jnp.concatenate(imgs, axis=0)
+    pad_top = tiles_y * TILE_PX - height
+    return img[pad_top:] if pad_top else img

@@ -401,15 +401,29 @@ class TachyonRender:
                     )
                 elif use_mega:
                     from .accel import build_light_records, gather_other_records
-                    from .megakernel import build_mega_params, render_image_mega
+                    from .megakernel import (
+                        build_mega_params, render_image_mega,
+                        render_image_mega_banded,
+                    )
                     from .pallas_kernels import gather_chunk_data
 
+                    # scenes whose materialized per-tile records exceed the
+                    # HBM budget render in sequential tile-row bands with
+                    # per-band gathers (10M-atom scale on one chip)
+                    _nbq, _nchq, _chq = bins.sph_chunks.shape
+                    _budget = int(float(os.environ.get(
+                        "MDAPY_TPU_CHUNK_BUDGET_GB", "2")) * (1 << 30))
+                    big_scene = (
+                        self._backend != "cpu"
+                        and sphere_only
+                        and _nbq * _nchq * _chq * 32 > _budget
+                    )
                     cached = self._chunk_data_cached
                     if cached is not None and cached[0] == "mega":
                         (_, chunk_data, light_records, params,
                          other_rec) = cached
                     else:
-                        chunk_data = gather_chunk_data(
+                        chunk_data = None if big_scene else gather_chunk_data(
                             bins.sph_chunks, scene.sph_center,
                             scene.sph_radius, scene.sph_color,
                         )
@@ -527,22 +541,39 @@ class TachyonRender:
                         extra_lights is not None
                         and os.environ.get("MDAPY_TPU_AO_SHARED", "1") != "0"
                     )
-                    img_f = render_image_mega(
-                        chunk_data, bins.sph_zmin,
-                        lr0[0], lr0[1], lr0[2],
-                        params, self._seed,
-                        S=S, width=int(width), height=int(height),
-                        tiles_x=bins.tiles_x, tiles_y=bins.tiles_y,
-                        grid_n=lb.grid, eps=cfg.eps,
-                        perspective=bool(frame["perspective"]),
-                        shadows=shadows_flag,
-                        interpret=(self._backend == "cpu"),
-                        quantized=device_output,
-                        extra_lights=extra_lights,
-                        ao_shared=_ao_shared,
-                        n_peel=(cfg.max_trans if cfg.transparency else 1),
-                        **other_kw,
-                    )
+                    _peel = cfg.max_trans if cfg.transparency else 1
+                    if chunk_data is None:
+                        img_f = render_image_mega_banded(
+                            scene, bins,
+                            lr0[0], lr0[1], lr0[2],
+                            params, self._seed,
+                            S=S, width=int(width), height=int(height),
+                            grid_n=lb.grid, eps=cfg.eps,
+                            perspective=bool(frame["perspective"]),
+                            shadows=shadows_flag,
+                            interpret=(self._backend == "cpu"),
+                            quantized=device_output,
+                            extra_lights=extra_lights,
+                            ao_shared=_ao_shared, n_peel=_peel,
+                            max_band_bytes=_budget,
+                        )
+                    else:
+                        img_f = render_image_mega(
+                            chunk_data, bins.sph_zmin,
+                            lr0[0], lr0[1], lr0[2],
+                            params, self._seed,
+                            S=S, width=int(width), height=int(height),
+                            tiles_x=bins.tiles_x, tiles_y=bins.tiles_y,
+                            grid_n=lb.grid, eps=cfg.eps,
+                            perspective=bool(frame["perspective"]),
+                            shadows=shadows_flag,
+                            interpret=(self._backend == "cpu"),
+                            quantized=device_output,
+                            extra_lights=extra_lights,
+                            ao_shared=_ao_shared,
+                            n_peel=_peel,
+                            **other_kw,
+                        )
                     if device_output:
                         _t0 = _mark("trace", _t0)
                         return img_f
