@@ -395,6 +395,11 @@ def main():
         except Exception as exc:  # keep the primary metric robust
             extra["potentials_error"] = repr(exc)[:200]
 
+    extra["hardware_note"] = (
+        "ours: one TPU v5e via tunnel; reference baselines: this host's 2 "
+        "hardware threads (all it has) — vs_* ratios are same-machine, not "
+        "vs the authors' workstations"
+    )
     print(json.dumps({
         "metric": "render_rays_per_s_1M_atoms_1080p",
         "value": round(ours / 1e9, 4),
