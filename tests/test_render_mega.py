@@ -128,3 +128,41 @@ def test_mega_quantized_output():
     ))
     assert img.dtype == np.uint8 and img.shape == (H, W, 3)
     assert img.std() > 1
+
+
+def test_mega_banded_matches_full():
+    """The over-HBM band-streamed driver must reproduce the one-shot
+    megakernel image exactly (same kernel, shifted image-plane origins)."""
+    from mdapy_tpu.render.megakernel import render_image_mega_banded
+
+    pos, colors, radii = _fcc_scene()
+    cam = preset_camera("perspective", pos, max_radius=float(radii.max()))
+    scene = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32),
+        build_scene(pos, colors, radii, dtype=np.float32),
+    )
+    frame = camera_frame(cam, W, H)
+    cfg = RenderConfig(aa_samples=0, aa_enabled=False, ao_enabled=False,
+                       shadows_enabled=True)
+    bins = build_screen_bins(scene, frame, W, H)
+    lb = build_light_bins(scene, np.asarray(frame["light_dir"], np.float32), grid=48)
+    cd = gather_chunk_data(
+        bins.sph_chunks, scene.sph_center, scene.sph_radius, scene.sph_color
+    )
+    lrec = build_light_records(lb, scene)
+    lo = np.asarray(jnp.min(scene.sph_center - scene.sph_radius[:, None], 0))
+    hi = np.asarray(jnp.max(scene.sph_center + scene.sph_radius[:, None], 0))
+    params = build_mega_params(frame, lb, lo, hi, cfg)
+    kw = dict(S=1, width=W, height=H, grid_n=48, eps=cfg.eps,
+              perspective=True, shadows=True, interpret=True)
+    full = np.asarray(render_image_mega(
+        cd, bins.sph_zmin, lrec[0], lrec[1], lrec[2], params, 0,
+        tiles_x=bins.tiles_x, tiles_y=bins.tiles_y, **kw
+    ))
+    # force multiple bands: budget fits exactly one tile row per band
+    one_row = bins.tiles_x * cd.shape[1] * 8 * cd.shape[3] * 4
+    banded = np.asarray(render_image_mega_banded(
+        scene, bins, lrec[0], lrec[1], lrec[2], params, 0,
+        max_band_bytes=one_row, **kw
+    ))
+    np.testing.assert_allclose(banded, full, atol=1e-6)
