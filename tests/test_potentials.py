@@ -171,3 +171,49 @@ def test_build_crystal_fixtures():
         assert np.allclose(s.box.matrix, fix["box"], atol=1e-6), name
         assert np.allclose(pos[order], fix["positions"], atol=1e-6), name
         assert [ele[i] for i in order] == list(fix["elements"]), name
+
+
+def test_eam_mxu_lookup_matches_gather_path():
+    """The one-hot MXU spline-lookup path (TPU default) must agree with the
+    row-gather path (CPU default) to fp precision — both read the same
+    packed node tables."""
+    import jax.numpy as jnp
+    import mdapy_tpu as mp
+    from mdapy_tpu.neighbor.neighbor import neighbor_search_device
+    from mdapy_tpu.potentials.eam import EAM, EAMGenerator, _eam_block, _eam_force_fast
+
+    EAMGenerator(["Cu", "Ni"], output_filename="/tmp/CuNi.eam.alloy")
+    eam = EAM("/tmp/CuNi.eam.alloy")
+    s = mp.build_hea(["Cu", "Ni"], [0.5, 0.5], "fcc", 3.58,
+                     nx=3, ny=3, nz=3, random_seed=2)
+    rng = np.random.default_rng(0)
+    s.update_pos(s.pos + 0.08 * rng.standard_normal((s.N, 3)))
+    from mdapy_tpu.neighbor.neighbor import replicate_for_small_box
+
+    pos, box, n_images = replicate_for_small_box(s.pos, s.box, eam.rc)
+    types = np.tile(
+        np.array([{"Cu": 0, "Ni": 1}[e] for e in
+                  np.asarray(s.data["element"]).astype(str)], np.int32),
+        n_images,
+    )
+    pos_d, verlet_d, cnt_d, _ = neighbor_search_device(pos, box, eam.rc)
+    tab = eam._eval_tables()
+    pack8 = jnp.concatenate([
+        pos_d, jnp.asarray(types, pos_d.dtype)[:, None],
+        jnp.zeros((pos_d.shape[0], 4), pos_d.dtype),
+    ], axis=1)
+    args = (
+        pack8, verlet_d,
+        jnp.asarray(box.matrix, pos_d.dtype),
+        jnp.asarray(box.inverse_box, pos_d.dtype),
+        jnp.asarray(box.boundary.astype(np.float64), pos_d.dtype),
+        tab["rho_flat"], tab["z2r_flat"], tab["F_flat"],
+        tab["rho_W"], tab["z2r_W"], tab["F_W"],
+        eam.drho, eam.dr, eam.rc, eam.nr, eam.nrho, eam.Nelements,
+        _eam_block(pos_d.shape[0], verlet_d.shape[1]),
+    )
+    e_g, f_g, v_g = _eam_force_fast(*args, False)
+    e_m, f_m, v_m = _eam_force_fast(*args, True)
+    np.testing.assert_allclose(np.asarray(e_m), np.asarray(e_g), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(f_m), np.asarray(f_g), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_g), atol=1e-10)
