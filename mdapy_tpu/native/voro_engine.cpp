@@ -349,18 +349,42 @@ void voro_compute_grid(const double *pos, int64_t n, const double *matrix,
     double f[3] = {dx * inv[0] + dy * inv[3] + dz * inv[6],
                    dx * inv[1] + dy * inv[4] + dz * inv[7],
                    dx * inv[2] + dy * inv[5] + dz * inv[8]};
-    int32_t c[3];
     for (int a = 0; a < 3; a++) {
       if (boundary[a]) f[a] -= std::floor(f[a]);
       frac[3 * i + a] = f[a];
-      int32_t b = (int32_t)std::floor(f[a] * nc[a]);
-      if (b < 0) b = 0;
-      if (b >= nc[a]) b = nc[a] - 1;
-      c[a] = b;
     }
     for (int d3 = 0; d3 < 3; d3++)
       pw[3 * i + d3] = f[0] * matrix[0 + d3] + f[1] * matrix[3 + d3] +
                        f[2] * matrix[6 + d3] + origin[d3];
+  }
+  // free axes bin over the ACTUAL coordinate range (atoms may sit outside
+  // the nominal box); clamping outliers into edge cells would break the
+  // cell-interval distance lower bounds below.  Periodic axes keep [0,1).
+  double flo[3] = {0.0, 0.0, 0.0};
+  double span[3] = {1.0, 1.0, 1.0};
+  for (int a = 0; a < 3; a++) {
+    if (boundary[a]) continue;
+    double fmin = 1e300, fmax = -1e300;
+    for (int64_t i = 0; i < n; i++) {
+      double v = frac[3 * i + a];
+      if (v < fmin) fmin = v;
+      if (v > fmax) fmax = v;
+    }
+    flo[a] = fmin - 1e-9;
+    span[a] = std::max(fmax - fmin + 2e-9, 1e-9);
+  }
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int64_t i = 0; i < n; i++) {
+    int32_t c[3];
+    for (int a = 0; a < 3; a++) {
+      double fb = (frac[3 * i + a] - flo[a]) / span[a];
+      int32_t b = (int32_t)std::floor(fb * nc[a]);
+      if (b < 0) b = 0;
+      if (b >= nc[a]) b = nc[a] - 1;
+      c[a] = b;
+    }
     cell_of[i] = (c[0] * nc[1] + c[1]) * nc[2] + c[2];
   }
   for (int64_t i = 0; i < n; i++) start[cell_of[i] + 1]++;
@@ -387,7 +411,7 @@ void voro_compute_grid(const double *pos, int64_t n, const double *matrix,
         int oo[3] = {ox, oy, oz};
         for (int a = 0; a < 3; a++) {
           double g = (std::abs(oo[a]) > 1 ? std::abs(oo[a]) - 1 : 0);
-          double d = g * H[a] / nc[a];
+          double d = g * H[a] * span[a] / nc[a];
           if (d > key) key = d;
         }
         o.key = key;
@@ -442,11 +466,12 @@ void voro_compute_grid(const double *pos, int64_t n, const double *matrix,
         wc[a] = t - s * nc[a];
       }
       if (!valid) continue;
-      // per-seed refinement of the lower bound (fractional slab gaps)
+      // per-seed refinement of the lower bound (fractional slab gaps,
+      // in the span-mapped coordinates so free-axis outliers stay sound)
       double dlow = 0.0;
       for (int a = 0; a < 3; a++) {
-        double lo = (double)(ci[a] + of.o[a]) / nc[a];
-        double hi = lo + 1.0 / nc[a];
+        double lo = flo[a] + (double)(ci[a] + of.o[a]) * span[a] / nc[a];
+        double hi = lo + span[a] / nc[a];
         double g = 0.0;
         if (lo > fs[a]) g = lo - fs[a];
         else if (fs[a] > hi) g = fs[a] - hi;

@@ -329,8 +329,13 @@ def _node_lookup(m, groups, W, flat, n_rows: int, use_mxu: bool):
             sel_g = (
                 g.reshape(-1)[:, None] == jnp.arange(G, dtype=jnp.int32)[None]
             ).astype(dt)
-            Rg = jnp.einsum("pg,pgle->ple", sel_g, R)
-            v = jnp.einsum("pl,ple->pe", sel_lo, Rg)
+            # HIGHEST keeps the one-hot selections exact on TPU too —
+            # default einsum precision would round the f32 node values
+            # through bf16 operands
+            Rg = jnp.einsum("pg,pgle->ple", sel_g, R,
+                            precision=jax.lax.Precision.HIGHEST)
+            v = jnp.einsum("pl,ple->pe", sel_lo, Rg,
+                           precision=jax.lax.Precision.HIGHEST)
             out.append(tuple(v[:, c].reshape(shp) for c in range(4)))
         return out
     out = []

@@ -101,7 +101,7 @@ def assemble_elastic_tensor(stress_plus: np.ndarray,
 
 
 def fanout(fn, jobs, n_workers: int):
-    """Run fn over jobs, either inline or on a fork process pool.
+    """Run fn over jobs, either inline or on a spawn process pool.
 
     The reference farms its deformation runs to multiprocessing workers
     (reference md_elastic.py:157-450); each job here spawns its own LAMMPS
@@ -110,7 +110,9 @@ def fanout(fn, jobs, n_workers: int):
         return [fn(j) for j in jobs]
     import multiprocessing as mp_
 
-    ctx = mp_.get_context("fork")
+    # spawn, not fork: the parent typically holds an initialized JAX/TPU
+    # runtime whose threads and locks must not be cloned into the workers
+    ctx = mp_.get_context("spawn")
     with ctx.Pool(min(n_workers, len(jobs))) as pool:
         return pool.map(fn, jobs)
 

@@ -108,8 +108,9 @@ def render_image_mega_sharded(
                 other_data=other_b, other_count=ocnt_b,
                 occ_recs=occ_recs, n_occ=n_occ,
             )
+        # distinct AA jitter stream per band (tile ids restart per band)
         img = render_image_mega(
-            chunk_b, zmin_b, ldata, loffs, lcnt, p, seed,
+            chunk_b, zmin_b, ldata, loffs, lcnt, p, seed + b * 9973,
             S=S, width=width, height=band_h,
             tiles_x=tiles_x, tiles_y=rows_t, grid_n=grid_n, eps=eps,
             perspective=perspective, shadows=shadows, interpret=interpret,

@@ -1130,8 +1130,11 @@ def render_image_mega_banded(
         p = params.at[3:6].add(
             jnp.float32(b * band_h) * params[9:12]
         )
+        # distinct AA jitter stream per band: the in-kernel hash keys on the
+        # band-local tile id, which restarts at 0 every band
         imgs.append(render_image_mega(
-            cd, bins.sph_zmin[b0:b1], ldata, loffs, lcnt, p, seed,
+            cd, bins.sph_zmin[b0:b1], ldata, loffs, lcnt, p,
+            seed + b * 9973,
             S=S, width=width, height=band_h,
             tiles_x=tiles_x, tiles_y=rows_band, grid_n=grid_n, eps=eps,
             perspective=perspective, shadows=shadows, interpret=interpret,

@@ -110,3 +110,35 @@ def test_steinhardt_voronoi_weighted_q6_fcc():
     q = s.cal_steinhardt_bond_orientation(llist=(6,), use_voronoi=True, use_weight=True)
     # Voronoi-face-weighted q6 for perfect FCC (all faces equal) = 0.5745
     assert np.allclose(q[:, 0], 0.57452416, atol=1e-4)
+
+
+def test_voronoi_free_boundary_outliers():
+    """Atoms protruding outside the box on a free axis must still find all
+    their Voronoi neighbors (the engine's cell-interval distance bounds
+    must stay sound for out-of-box coordinates)."""
+    import numpy as np
+    from mdapy_tpu.analysis.voronoi import VoronoiAnalysis
+    from mdapy_tpu.core.box import Box
+
+    rng = np.random.default_rng(7)
+    a = 3.615
+    nxy, nz = 4, 2
+    frac = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.mgrid[0:nxy, 0:nxy, 0:nz].reshape(3, -1).T
+    pos = (frac[None] + cells[:, None]).reshape(-1, 3) * a
+    # push the slab's bottom layer below z=0 and rattle everything
+    pos[:, 2] -= 0.8
+    pos += rng.normal(0, 0.08, pos.shape)
+    box = Box(np.diag([nxy * a, nxy * a, nz * a + 6.0]), (1, 1, 0))
+    native = VoronoiAnalysis(pos, box).compute(backend="native")
+    ref = VoronoiAnalysis(pos, box).compute(backend="qhull")
+    # neighbor topology must be exact everywhere (this is what the unsound
+    # clamped-bin distance bound used to break: pruned true neighbors)
+    np.testing.assert_array_equal(native.neighbor_number, ref.neighbor_number)
+    # cell volumes compared for in-box seeds; a seed outside the container
+    # on a free axis has no defined cell (reference voro++ rejects such
+    # atoms outright), so both backends' wall handling is unspecified there
+    inside = (pos[:, 2] >= 0) & (pos[:, 2] <= box.matrix[2, 2])
+    np.testing.assert_allclose(
+        native.volume[inside], ref.volume[inside], rtol=1e-6
+    )
