@@ -1109,7 +1109,7 @@ def render_image_mega_banded(
     across devices instead."""
     import jax.numpy as jnp
 
-    from .pallas_kernels import gather_chunk_data
+    from .pallas_kernels import gather_chunk_data, pack_sphere_table
 
     tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
     nb, nchunks, CH = bins.sph_chunks.shape
@@ -1120,12 +1120,15 @@ def render_image_mega_banded(
     n_bands = tiles_y // rows_band
     band_h = rows_band * TILE_PX
     params = jnp.asarray(params, jnp.float32)
+    table = pack_sphere_table(
+        scene.sph_center, scene.sph_radius, scene.sph_color
+    )  # packed once, reused by every band's gather
     imgs = []
     for b in range(n_bands - 1, -1, -1):   # top band first
         b0, b1 = b * rows_band * tiles_x, (b + 1) * rows_band * tiles_x
         cd = gather_chunk_data(
             bins.sph_chunks[b0:b1], scene.sph_center, scene.sph_radius,
-            scene.sph_color,
+            scene.sph_color, table=table,
         )
         p = params.at[3:6].add(
             jnp.float32(b * band_h) * params[9:12]

@@ -37,7 +37,12 @@ __all__ = [
 
 
 @functools.partial(jax.jit, static_argnames=())
-def gather_chunk_data(sph_chunks, centers, radii, colors):
+def pack_sphere_table(centers, radii, colors):
+    """Scene-constant packed (n, 8) record table [cx, cy, cz, r, rgba]."""
+    return jnp.concatenate([centers, radii[:, None], colors], axis=1)
+
+
+def gather_chunk_data(sph_chunks, centers, radii, colors, table=None):
     """(nb, nchunks, CH) ids -> dense (nb, nchunks, 8, CH) candidate records
     [cx, cy, cz, r, rgba] as *rows* so the last (DMA-tiled) dim is CH, which
     is 128-aligned; padded slots get r = -1.
@@ -48,9 +53,8 @@ def gather_chunk_data(sph_chunks, centers, radii, colors):
     (the cost that dominates band-streamed 10M-atom frames)."""
     ids = jnp.maximum(sph_chunks, 0)
     live = sph_chunks >= 0
-    table = jnp.concatenate(
-        [centers, radii[:, None], colors], axis=1
-    )                                                 # (n, 8)
+    if table is None:
+        table = pack_sphere_table(centers, radii, colors)  # (n, 8)
     rec = jnp.swapaxes(table[ids], -1, -2)            # (nb, nchunks, 8, CH)
     dead_r = jnp.where(live, rec[..., 3, :], -1.0)
     return rec.at[..., 3, :].set(dead_r)
