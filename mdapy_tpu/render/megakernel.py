@@ -49,6 +49,7 @@ TILE_GROUP = 8
 P = 256          # pixels per tile (tile_px = 16)
 TILE_PX = 16
 SHW = 128        # shadow window width
+PREF_C = 4       # per-light prefetched cells (window 0 of each)
 NBUF = 6         # tile-row DMA pipeline depth
 
 __all__ = ["render_image_mega", "build_mega_params"]
@@ -140,10 +141,14 @@ def _mega_kernel(
     recs,         # (16, S*P) VMEM scratch — best-hit records
     blocked,      # (1, S*P) VMEM scratch — shadow occlusion flags
     sbuf,         # (2, 8, SHW) VMEM scratch — shadow window double buffer
+    psbuf,        # (L, PREF_C, 8, SHW) VMEM scratch — prefetched windows
+    lrows,        # (L*8, S*P) VMEM scratch — per-light ray rows (see below)
     needed,       # (32,) SMEM f32 scratch — per-sample early-exit bounds
+    lmeta,        # (L*8,) SMEM f32 scratch — per-light prefetch metadata
     rsem,         # (NBUF,) DMA semaphores (tile rows)
     osem,         # (2,) DMA semaphores (cyl/ring rows)
     ssem,         # (2,) DMA semaphores (shadow windows)
+    psem,         # (L,) DMA semaphores (light prefetch)
     *,
     S: int,
     nchunks: int,
@@ -558,6 +563,108 @@ def _mega_kernel(
                     jax.lax.fori_loop(0, S, shade_prep, 0)
                     state[pl.ds(_SH, 1), :] = jnp.zeros((1, SP), f32)
 
+                # ---- cross-light prefetch: compute every light's first
+                # shadow cells and launch their window-0 DMAs now, so the L
+                # first-window latencies overlap instead of serializing one
+                # per light (the sweep is DMA-latency-bound at 1 TensorCore).
+                # Single-light launches skip it — the staging overhead only
+                # pays for itself across multiple lights.
+                prefetch_on = shadows and debug_phases >= 5 and L > 1
+                if prefetch_on:
+                    for _l in range(L):
+                        lb16 = _l * 16
+                        plx = lparams_ref[lb16 + 0]
+                        ply = lparams_ref[lb16 + 1]
+                        plz = lparams_ref[lb16 + 2]
+                        pe1x = lparams_ref[lb16 + 3]
+                        pe1y = lparams_ref[lb16 + 4]
+                        pe1z = lparams_ref[lb16 + 5]
+                        pe2x = lparams_ref[lb16 + 6]
+                        pe2y = lparams_ref[lb16 + 7]
+                        pe2z = lparams_ref[lb16 + 8]
+                        plorgu = lparams_ref[lb16 + 9]
+                        plorgv = lparams_ref[lb16 + 10]
+                        pinv_cell = lparams_ref[lb16 + 11]
+                        Cp = P if (ao_shared and _l > 0) else SP
+                        # full-width rows (diffuse shading needs all samples)
+                        pnx = state[pl.ds(_NX, 1), :]
+                        pny = state[pl.ds(_NY, 1), :]
+                        pnz = state[pl.ds(_NZ, 1), :]
+                        pmiss = state[pl.ds(_MISS, 1), :]
+                        pint_f = pnx * plx + pny * ply + pnz * plz
+                        plit_f = jnp.where(
+                            (pint_f > MINCONTRIB) & (pmiss < 0.5),
+                            f32(1.0), f32(0.0),
+                        )
+                        lrows[pl.ds(_l * 8 + 0, 1), :] = pint_f
+                        lrows[pl.ds(_l * 8 + 1, 1), :] = plit_f
+                        phx = state[pl.ds(_HX, 1), pl.ds(0, Cp)]
+                        phy = state[pl.ds(_HY, 1), pl.ds(0, Cp)]
+                        phz = state[pl.ds(_HZ, 1), pl.ds(0, Cp)]
+                        plit = plit_f[:, :Cp] > 0.5
+                        pu = phx * pe1x + phy * pe1y + phz * pe1z - plorgu
+                        pv = phx * pe2x + phy * pe2y + phz * pe2z - plorgv
+                        ptau = phx * plx + phy * ply + phz * plz
+                        pgx = jnp.clip(
+                            jnp.floor(pu * pinv_cell), 0, grid_n - 1
+                        )
+                        pgy = jnp.clip(
+                            jnp.floor(pv * pinv_cell), 0, grid_n - 1
+                        )
+                        lrows[pl.ds(_l * 8 + 2, 1), pl.ds(0, Cp)] = pu
+                        lrows[pl.ds(_l * 8 + 3, 1), pl.ds(0, Cp)] = pv
+                        lrows[pl.ds(_l * 8 + 4, 1), pl.ds(0, Cp)] = ptau
+                        lrows[pl.ds(_l * 8 + 5, 1), pl.ds(0, Cp)] = pgx
+                        lrows[pl.ds(_l * 8 + 6, 1), pl.ds(0, Cp)] = pgy
+                        pmngx = jnp.min(jnp.where(plit, pgx, f32(grid_n)))
+                        pmxgx = jnp.max(jnp.where(plit, pgx, -1.0))
+                        pmngy = jnp.min(jnp.where(plit, pgy, f32(grid_n)))
+                        pmxgy = jnp.max(jnp.where(plit, pgy, -1.0))
+                        pcx0 = pmngx.astype(jnp.int32)
+                        pcy0 = pmngy.astype(jnp.int32)
+                        pnxc = jnp.maximum(
+                            pmxgx.astype(jnp.int32) - pcx0 + 1, 0
+                        )
+                        pnyc = jnp.maximum(
+                            pmxgy.astype(jnp.int32) - pcy0 + 1, 0
+                        )
+                        pncell = jnp.where(pmxgx >= 0.0, pnxc * pnyc, 0)
+                        cell0 = jnp.clip(
+                            pcy0 * grid_n + pcx0, 0, grid_n * grid_n - 1
+                        )
+                        poff0 = loffs_ref[_l * ncells_l + cell0]
+                        pcnt0 = lcnt_ref[_l * ncells_l + cell0]
+                        lmeta[_l * 8 + 0] = pcx0.astype(f32)
+                        lmeta[_l * 8 + 1] = pcy0.astype(f32)
+                        lmeta[_l * 8 + 2] = pnxc.astype(f32)
+                        lmeta[_l * 8 + 3] = pnyc.astype(f32)
+                        lmeta[_l * 8 + 4] = pncell.astype(f32)
+
+                        # window 0 of the rect's first PREF_C cells; the wait
+                        # side recomputes the same (ci < ncell) & (cnt > 0)
+                        # condition from the identical SMEM inputs
+                        for _pc in range(PREF_C):
+                            pdxc = jax.lax.rem(jnp.int32(_pc),
+                                               jnp.maximum(pnxc, 1))
+                            pdyc = jnp.int32(_pc) // jnp.maximum(pnxc, 1)
+                            pcell = jnp.clip(
+                                (pcy0 + pdyc) * grid_n + (pcx0 + pdxc),
+                                0, grid_n * grid_n - 1,
+                            )
+                            poff = loffs_ref[_l * ncells_l + pcell]
+                            pcnt = lcnt_ref[_l * ncells_l + pcell]
+
+                            @pl.when((jnp.int32(_pc) < pncell) & (pcnt > 0))
+                            def _(l_=_l, pc_=_pc, off_=poff):
+                                pltpu.make_async_copy(
+                                    ldata_hbm.at[
+                                        l_, :,
+                                        pl.ds(pl.multiple_of(off_, SHW), SHW),
+                                    ],
+                                    psbuf.at[l_, pc_],
+                                    psem.at[l_, pc_],
+                                ).start()
+
                 # ---- per-light loop: diffuse + shadow filter, accumulated ------
                 # Each light l reads its scalars from lparams and its CSR slice;
                 # AO sky directions are just additional lights with ambient 0 —
@@ -579,16 +686,9 @@ def _mega_kernel(
                     inv_cell = lparams_ref[lb16 + 11]
                     lightcol = lparams_ref[lb16 + 12]
 
-                    nx_all = state[pl.ds(_NX, 1), :]
-                    ny_all = state[pl.ds(_NY, 1), :]
-                    nz_all = state[pl.ds(_NZ, 1), :]
                     hx_all = state[pl.ds(_HX, 1), :]
                     hy_all = state[pl.ds(_HY, 1), :]
                     hz_all = state[pl.ds(_HZ, 1), :]
-                    miss_all = state[pl.ds(_MISS, 1), :]
-                    inten = nx_all * lx + ny_all * ly + nz_all * lz
-                    litb_full = (inten > MINCONTRIB) & (miss_all < 0.5)
-                    lit_all = jnp.where(litb_full, f32(1.0), f32(0.0))
                     # shared-occlusion AO: sky-light (l > 0) visibility is
                     # evaluated on AA sample 0 only and reused for every sample
                     # (AO is low-frequency; the primary light keeps per-sample
@@ -598,28 +698,62 @@ def _mega_kernel(
                         hx_s = hx_all[:, :C]
                         hy_s = hy_all[:, :C]
                         hz_s = hz_all[:, :C]
-                        litb = litb_full[:, :C]
-                        lit_s = lit_all[:, :C]
-                        u_all = (
-                            hx_s * e1x + hy_s * e1y + hz_s * e1z - lorgu
-                        )
-                        v_all = (
-                            hx_s * e2x + hy_s * e2y + hz_s * e2z - lorgv
-                        )
-                        tau_all = hx_s * lx + hy_s * ly + hz_s * lz
+                        if prefetch_on:
+                            # per-light ray rows computed once in the
+                            # prefetch phase above
+                            inten = lrows[pl.ds(_l * 8 + 0, 1), :]
+                            lit_all = lrows[pl.ds(_l * 8 + 1, 1), :]
+                            litb = lit_all[:, :C] > 0.5
+                            lit_s = lit_all[:, :C]
+                            u_all = lrows[pl.ds(_l * 8 + 2, 1), pl.ds(0, C)]
+                            v_all = lrows[pl.ds(_l * 8 + 3, 1), pl.ds(0, C)]
+                            tau_all = lrows[pl.ds(_l * 8 + 4, 1),
+                                            pl.ds(0, C)]
+                            gx_all = lrows[pl.ds(_l * 8 + 5, 1), pl.ds(0, C)]
+                            gy_all = lrows[pl.ds(_l * 8 + 6, 1), pl.ds(0, C)]
+                        else:
+                            nx_all = state[pl.ds(_NX, 1), :]
+                            ny_all = state[pl.ds(_NY, 1), :]
+                            nz_all = state[pl.ds(_NZ, 1), :]
+                            miss_all = state[pl.ds(_MISS, 1), :]
+                            inten = nx_all * lx + ny_all * ly + nz_all * lz
+                            lit_all = jnp.where(
+                                (inten > MINCONTRIB) & (miss_all < 0.5),
+                                f32(1.0), f32(0.0),
+                            )
+                            litb = lit_all[:, :C] > 0.5
+                            lit_s = lit_all[:, :C]
+                            u_all = (hx_s * e1x + hy_s * e1y + hz_s * e1z
+                                     - lorgu)
+                            v_all = (hx_s * e2x + hy_s * e2y + hz_s * e2z
+                                     - lorgv)
+                            tau_all = hx_s * lx + hy_s * ly + hz_s * lz
+                            gx_all = jnp.clip(
+                                jnp.floor(u_all * inv_cell), 0, grid_n - 1
+                            )
+                            gy_all = jnp.clip(
+                                jnp.floor(v_all * inv_cell), 0, grid_n - 1
+                            )
                         tau_eps = tau_all + eps
-                        gx_all = jnp.clip(jnp.floor(u_all * inv_cell), 0, grid_n - 1)
-                        gy_all = jnp.clip(jnp.floor(v_all * inv_cell), 0, grid_n - 1)
                         blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.zeros((1, C), f32)
-                        mngx = jnp.min(jnp.where(litb, gx_all, f32(grid_n)))
-                        mxgx = jnp.max(jnp.where(litb, gx_all, -1.0))
-                        mngy = jnp.min(jnp.where(litb, gy_all, f32(grid_n)))
-                        mxgy = jnp.max(jnp.where(litb, gy_all, -1.0))
-                        cx0 = mngx.astype(jnp.int32)
-                        cy0 = mngy.astype(jnp.int32)
-                        nxc = jnp.maximum(mxgx.astype(jnp.int32) - cx0 + 1, 0)
-                        nyc = jnp.maximum(mxgy.astype(jnp.int32) - cy0 + 1, 0)
-                        ncell = jnp.where(mxgx >= 0.0, nxc * nyc, 0)
+                        if prefetch_on:
+                            # rect + first-cell metadata from the prefetch
+                            # phase (identical math)
+                            cx0 = lmeta[_l * 8 + 0].astype(jnp.int32)
+                            cy0 = lmeta[_l * 8 + 1].astype(jnp.int32)
+                            nxc = lmeta[_l * 8 + 2].astype(jnp.int32)
+                            nyc = lmeta[_l * 8 + 3].astype(jnp.int32)
+                            ncell = lmeta[_l * 8 + 4].astype(jnp.int32)
+                        else:
+                            mngx = jnp.min(jnp.where(litb, gx_all, f32(grid_n)))
+                            mxgx = jnp.max(jnp.where(litb, gx_all, -1.0))
+                            mngy = jnp.min(jnp.where(litb, gy_all, f32(grid_n)))
+                            mxgy = jnp.max(jnp.where(litb, gy_all, -1.0))
+                            cx0 = mngx.astype(jnp.int32)
+                            cy0 = mngy.astype(jnp.int32)
+                            nxc = jnp.maximum(mxgx.astype(jnp.int32) - cx0 + 1, 0)
+                            nyc = jnp.maximum(mxgy.astype(jnp.int32) - cy0 + 1, 0)
+                            ncell = jnp.where(mxgx >= 0.0, nxc * nyc, 0)
 
                         def sdma(slot2, off2):
                             return pltpu.make_async_copy(
@@ -628,7 +762,65 @@ def _mega_kernel(
                                 ssem.at[slot2],
                             )
 
-                        def cell_body(ci, _):
+                        def occl_update(srec, incell):
+                            """Fold one (8, SHW) record window into blocked;
+                            returns the window's far-depth key tail."""
+                            srecT = jnp.swapaxes(srec, 0, 1)   # (SHW, 8)
+                            cu = srecT[:, 0:1]
+                            cv = srecT[:, 1:2]
+                            ck = srecT[:, 2:3]
+                            sr = srecT[:, 3:4]
+                            srlive = sr > 0.0
+                            du = cu - u_all                    # (SHW, C)
+                            dv = cv - v_all
+                            s2 = sr * sr - (du * du + dv * dv)
+                            # occludes iff sqrt(s2) > tau + eps - ck; square both
+                            # sides instead of paying a (SHW, C) sqrt
+                            q = tau_eps - ck
+                            occ = (
+                                (s2 > 0.0) & srlive
+                                & ((q < 0.0) | (s2 > q * q))
+                            )
+                            if n_peel > 1:
+                                # transparency-filtered shadows: each occluder
+                                # multiplies by (1 - alpha); near-opaque
+                                # (>= 0.99999, api.c:918) blocks fully.
+                                # blocked = 1 - transmittance.
+                                sal = srecT[:, 5:6]
+                                fac = jnp.where(
+                                    occ,
+                                    jnp.where(sal >= 0.99999, 0.0, 1.0 - sal),
+                                    1.0,
+                                )
+                                att = jnp.prod(fac, axis=0, keepdims=True)
+                                att = jnp.where(incell, att, 1.0)
+                                blocked[pl.ds(0, 1), pl.ds(0, C)] = (
+                                    1.0
+                                    - (1.0 - blocked[pl.ds(0, 1),
+                                                     pl.ds(0, C)]) * att
+                                )
+                            else:
+                                occf = jnp.max(
+                                    jnp.where(occ, f32(1.0), f32(0.0)),
+                                    axis=0, keepdims=True,
+                                )
+                                selg = jnp.where(incell, f32(1.0), f32(0.0))
+                                blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.maximum(
+                                    blocked[pl.ds(0, 1), pl.ds(0, C)], selg * occf
+                                )
+                            return srec[4, SHW - 1]
+
+                        def floor_for(incell):
+                            thr = 0.999 if n_peel > 1 else 0.5
+                            selm = incell & (
+                                blocked[pl.ds(0, 1), pl.ds(0, C)] < thr
+                            )
+                            return jnp.min(jnp.where(selm, tau_all, BIG))
+
+                        def sweep_cell(ci, prefetched):
+                            """Process candidate cell ci; `prefetched` (static:
+                            slot index or None) marks the rect's first PREF_C
+                            cells, whose window 0 was DMA'd upfront."""
                             dxc = jax.lax.rem(ci, jnp.maximum(nxc, 1))
                             dyc = ci // jnp.maximum(nxc, 1)
                             cgx = (cx0 + dxc).astype(f32)
@@ -641,16 +833,7 @@ def _mega_kernel(
                             nw = (cnt + (SHW - 1)) // SHW
                             incell = (gx_all == cgx) & (gy_all == cgy) & litb
 
-                            # scan floor: shallowest unblocked selected ray; refreshed
-                            # after each window so newly-blocked rays stop holding it
-                            def floor_now():
-                                thr = 0.999 if n_peel > 1 else 0.5
-                                selm = incell & (
-                                    blocked[pl.ds(0, 1), pl.ds(0, C)] < thr
-                                )
-                                return jnp.min(jnp.where(selm, tau_all, BIG))
-
-                            mintau0 = floor_now()
+                            mintau0 = floor_for(incell)
 
                             def wcond(wc):
                                 w, kmax, mintau = wc
@@ -666,70 +849,67 @@ def _mega_kernel(
                                     sdma(nxt2, off0 + (w + 1) * SHW).start()
 
                                 sdma(slot2, off0 + w * SHW).wait()
-                                srec = sbuf[slot2]                 # (8, SHW)
-                                srecT = jnp.swapaxes(srec, 0, 1)   # (SHW, 8)
-                                cu = srecT[:, 0:1]
-                                cv = srecT[:, 1:2]
-                                ck = srecT[:, 2:3]
-                                sr = srecT[:, 3:4]
-                                srlive = sr > 0.0
-                                du = cu - u_all                    # (SHW, SP)
-                                dv = cv - v_all
-                                s2 = sr * sr - (du * du + dv * dv)
-                                # occludes iff sqrt(s2) > tau + eps - ck; square both
-                                # sides instead of paying a (SHW, SP) sqrt
-                                q = tau_eps - ck
-                                occ = (
-                                    (s2 > 0.0) & srlive
-                                    & ((q < 0.0) | (s2 > q * q))
-                                )
-                                if n_peel > 1:
-                                    # transparency-filtered shadows: each
-                                    # occluder multiplies by (1 - alpha);
-                                    # near-opaque (>= 0.99999, api.c:918)
-                                    # blocks fully.  blocked = 1 - transmit.
-                                    sal = srecT[:, 5:6]
-                                    fac = jnp.where(
-                                        occ,
-                                        jnp.where(sal >= 0.99999, 0.0,
-                                                  1.0 - sal),
-                                        1.0,
-                                    )
-                                    att = jnp.prod(fac, axis=0, keepdims=True)
-                                    att = jnp.where(incell, att, 1.0)
-                                    blocked[pl.ds(0, 1), pl.ds(0, C)] = (
-                                        1.0
-                                        - (1.0 - blocked[pl.ds(0, 1),
-                                                         pl.ds(0, C)]) * att
-                                    )
-                                else:
-                                    occf = jnp.max(
-                                        jnp.where(occ, f32(1.0), f32(0.0)),
-                                        axis=0, keepdims=True,
-                                    )
-                                    selg = jnp.where(incell, f32(1.0), f32(0.0))
-                                    blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.maximum(
-                                        blocked[pl.ds(0, 1), pl.ds(0, C)], selg * occf
-                                    )
-                                nxt_kmax = srec[4, SHW - 1]
-                                return w + 1, nxt_kmax, floor_now()
+                                nxt_kmax = occl_update(sbuf[slot2], incell)
+                                return w + 1, nxt_kmax, floor_for(incell)
 
-                            @pl.when((cnt > 0) & (mintau0 < BIG_DEPTH))
-                            def _():
-                                sdma(0, off0).start()
-                                wf, _, _ = jax.lax.while_loop(
-                                    wcond, wbody, (jnp.int32(0), f32(BIG), mintau0)
-                                )
-
-                                # drain the in-flight DMA the loop left unconsumed
+                            def drain(wf):
                                 @pl.when(wf < nw)
                                 def _():
                                     sdma(jax.lax.rem(wf, jnp.int32(2)),
                                          off0 + wf * SHW).wait()
 
+                            if prefetched is not None:
+                                # window 0 already in flight to
+                                # psbuf[_l, prefetched]; the wait must fire
+                                # exactly when the prefetch start did
+                                @pl.when((ci < ncell) & (cnt > 0))
+                                def _(pc_=prefetched):
+                                    @pl.when(nw > 1)
+                                    def _():
+                                        sdma(1, off0 + SHW).start()
+
+                                    pltpu.make_async_copy(
+                                        ldata_hbm.at[
+                                            _l, :,
+                                            pl.ds(pl.multiple_of(off0, SHW),
+                                                  SHW),
+                                        ],
+                                        psbuf.at[_l, pc_],
+                                        psem.at[_l, pc_],
+                                    ).wait()
+                                    kmax0 = occl_update(
+                                        psbuf[_l, pc_], incell
+                                    )
+                                    wf, _, _ = jax.lax.while_loop(
+                                        wcond, wbody,
+                                        (jnp.int32(1), kmax0,
+                                         floor_for(incell)),
+                                    )
+                                    drain(wf)
+                            else:
+                                @pl.when((cnt > 0) & (mintau0 < BIG_DEPTH))
+                                def _():
+                                    sdma(0, off0).start()
+                                    wf, _, _ = jax.lax.while_loop(
+                                        wcond, wbody,
+                                        (jnp.int32(0), f32(BIG), mintau0),
+                                    )
+                                    drain(wf)
+
                             return 0
 
-                        jax.lax.fori_loop(0, ncell, cell_body, 0)
+                        if prefetch_on:
+                            for _pc in range(PREF_C):
+                                sweep_cell(jnp.int32(_pc), _pc)
+                            jax.lax.fori_loop(
+                                PREF_C, jnp.maximum(ncell, PREF_C),
+                                lambda ci, _: sweep_cell(ci, None), 0,
+                            )
+                        else:
+                            jax.lax.fori_loop(
+                                0, ncell,
+                                lambda ci, _: sweep_cell(ci, None), 0,
+                            )
 
                         # ---- dense cyl/ring occluders (global list, tile-culled) ----
                         if other and n_occ > 0:
@@ -834,6 +1014,16 @@ def _mega_kernel(
                                     lit_s * occf,
                                 )
 
+                    if not (shadows and debug_phases >= 5):
+                        nx_all = state[pl.ds(_NX, 1), :]
+                        ny_all = state[pl.ds(_NY, 1), :]
+                        nz_all = state[pl.ds(_NZ, 1), :]
+                        miss_all = state[pl.ds(_MISS, 1), :]
+                        inten = nx_all * lx + ny_all * ly + nz_all * lz
+                        lit_all = jnp.where(
+                            (inten > MINCONTRIB) & (miss_all < 0.5),
+                            f32(1.0), f32(0.0),
+                        )
                     # per-light diffuse accumulation (full width, all samples)
                     if shadows and debug_phases >= 5:
                         if C == SP:
@@ -1052,10 +1242,14 @@ def render_image_mega(
             pltpu.VMEM((16 if other else 8, S * P), jnp.float32),
             pltpu.VMEM((1, S * P), jnp.float32),
             pltpu.VMEM((2, 8, SHW), jnp.float32),
+            pltpu.VMEM((L, PREF_C, 8, SHW), jnp.float32),
+            pltpu.VMEM((L * 8, S * P), jnp.float32),
             pltpu.SMEM((32,), jnp.float32),
+            pltpu.SMEM((L * 8,), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((L, PREF_C)),
         ],
     )
     (out,) = pl.pallas_call(
