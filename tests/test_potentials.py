@@ -217,3 +217,42 @@ def test_eam_mxu_lookup_matches_gather_path():
     np.testing.assert_allclose(np.asarray(e_m), np.asarray(e_g), atol=1e-10)
     np.testing.assert_allclose(np.asarray(f_m), np.asarray(f_g), atol=1e-10)
     np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_g), atol=1e-10)
+
+
+def test_eam_average_and_setfl_roundtrip(tmp_path):
+    """EAMAverage appends the concentration-averaged 'A' element
+    (reference eam.py:558); setfl write -> reload is lossless."""
+    import mdapy_tpu as mp
+    from mdapy_tpu.potentials.eam import EAM, EAMAverage
+
+    src = os.path.join(REF_INPUTS, "CoNiFeAlCu.eam.alloy")
+    base = EAM(src)
+    conc = [0.2, 0.2, 0.2, 0.2, 0.2]
+    avg = EAMAverage(src, conc)
+    assert avg.elements_list[-1] == "A"
+    assert avg.Nelements == base.Nelements + 1
+    np.testing.assert_allclose(
+        avg.F_rho[-1], np.tensordot(conc, base.F_rho, axes=1)
+    )
+    np.testing.assert_allclose(
+        avg.rho_r[-1], np.tensordot(conc, base.rho_r, axes=1)
+    )
+    np.testing.assert_allclose(
+        avg._rphi_r[-1, -1],
+        np.einsum("i,j,ijr->r", conc, conc, base._rphi_r),
+    )
+    # an all-"A" crystal evaluates through the averaged tables
+    s = mp.build_crystal("Cu", "fcc", 3.6, nx=2, ny=2, nz=2)
+    s.update_data(s.data.with_columns(element=np.array(["A"] * s.N, object)))
+    s.calc = avg
+    e = s.get_energies()
+    assert np.isfinite(e).all() and e.std() < 1e-8  # perfect crystal
+
+    out = tmp_path / "rt.eam.alloy"
+    avg.write_eam_alloy(str(out))
+    back = EAM(str(out))
+    assert back.elements_list == avg.elements_list
+    np.testing.assert_allclose(back.F_rho, avg.F_rho, rtol=1e-12)
+    np.testing.assert_allclose(back.rho_r, avg.rho_r, rtol=1e-12)
+    np.testing.assert_allclose(back._rphi_r, avg._rphi_r, rtol=1e-12)
+    assert np.isclose(back.rc, avg.rc) and np.isclose(back.dr, avg.dr)

@@ -139,3 +139,16 @@ def test_transparent_scene_through_public_render():
         pos, colors, radii, width=W, height=H
     )
     assert img.shape == (H, W, 4) and img[..., :3].std() > 1
+
+
+def test_transparency_with_ao_through_public_render():
+    """AO sky-light passes + transparency peeling compose in one launch."""
+    import mdapy_tpu as mp
+
+    pos, colors, radii = _alpha_scene(2)
+    ren = mp.TachyonRender(backend="cpu", ao=True, ao_samples=4, aa_samples=1)
+    img = ren.render(pos, colors, radii, width=64, height=48)
+    assert img.shape == (48, 64, 4)
+    rgb = img[..., :3].astype(float) / 255.0
+    assert np.isfinite(rgb).all() and 0.0 <= rgb.min() and rgb.max() <= 1.0
+    assert rgb.std() > 0.01
