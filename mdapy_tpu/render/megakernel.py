@@ -48,7 +48,8 @@ MINCONTRIB = 1.0 / 512.0
 TILE_GROUP = 8
 P = 256          # pixels per tile (tile_px = 16)
 TILE_PX = 16
-SHW = 128        # shadow window width
+SHW = 128        # shadow window width (hard floor: HBM window DMAs must be
+                 # 128-lane aligned — Mosaic rejects narrower slices)
 PREF_C = 4       # per-light prefetched cells (window 0 of each)
 NBUF = 6         # tile-row DMA pipeline depth
 
