@@ -49,8 +49,10 @@ _LAZY = {
     "StructureFactor": (".analysis.structure_factor", "StructureFactor"),
     "SpatialBinning": (".analysis.spatial_binning", "SpatialBinning"),
     "ChillPlus": (".analysis.chill_plus", "ChillPlus"),
-    "IdentifyFCCPlanarFaults": (".analysis.identify_fcc_planar_faults", "IdentifyFCCPlanarFaults"),
-    "PolyhedralTemplateMatching": (".analysis.polyhedral_template_matching", "PolyhedralTemplateMatching"),
+    "IdentifyFccPlanarFaults": (".analysis.identify_fcc_planar_faults", "IdentifyFccPlanarFaults"),
+    # Back-compat alias (all-caps FCC spelling) for the same class.
+    "IdentifyFCCPlanarFaults": (".analysis.identify_fcc_planar_faults", "IdentifyFccPlanarFaults"),
+    "PolyhedralTemplateMatching": (".analysis.ptm", "PolyhedralTemplateMatching"),
     "VoronoiAnalysis": (".analysis.voronoi", "VoronoiAnalysis"),
     "build_crystal": (".build.lattice", "build_crystal"),
     "build_hea": (".build.lattice", "build_hea"),

@@ -385,6 +385,23 @@ def _canonical_order(system) -> np.ndarray:
     return np.arange(system.N)
 
 
+def _tilt_flip_between(prev_mat: np.ndarray, mat: np.ndarray) -> bool:
+    """Heuristic for a LAMMPS triclinic cell flip between two frames.
+
+    LAMMPS clamps each tilt factor (xy, xz, yz) to +-half the relevant edge;
+    drifting past the clamp re-folds the cell, jumping the tilt by ~one full
+    edge length. A jump > 0.7 of the edge cannot be thermal box breathing
+    (parity: reference unwrap_trajectory.py:116-137).
+    """
+    ax, by = prev_mat[0, 0], prev_mat[1, 1]
+    if ax <= 0 or by <= 0:
+        return False
+    for (i, j), denom in (((1, 0), ax), ((2, 0), ax), ((2, 1), by)):
+        if abs(mat[i, j] - prev_mat[i, j]) / denom > 0.7:
+            return True
+    return False
+
+
 def unwrap_trajectory(traj: Trajectory) -> Trajectory:
     """Unwrap PBC-wrapped coordinates across a trajectory.
 
@@ -444,7 +461,20 @@ def unwrap_trajectory(traj: Trajectory) -> Trajectory:
         prev_wrapped = frames[0].pos[orders[0]]
         cur = prev_wrapped.copy()
         unwrapped = [cur]
+        prev_mat = np.asarray(frames[0].box.matrix, dtype=float)
+        flip_warned = False
         for f, o in zip(frames[1:], orders[1:]):
+            mat = np.asarray(f.box.matrix, dtype=float)
+            if not flip_warned and _tilt_flip_between(prev_mat, mat):
+                warnings.warn(
+                    "unwrap_trajectory: possible LAMMPS triclinic cell flip "
+                    "between consecutive frames; the minimum-image heuristic "
+                    "cannot follow the re-folded tilt — re-dump with image "
+                    "flags (dump_modify pbc yes) for a reliable unwrap.",
+                    RuntimeWarning,
+                )
+                flip_warned = True
+            prev_mat = mat
             wrapped = f.pos[o]
             disp = wrapped - prev_wrapped
             inv = np.linalg.inv(f.box.matrix)

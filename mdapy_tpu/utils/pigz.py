@@ -9,6 +9,7 @@ gzip reader. Small files fall back to single-process compression.
 from __future__ import annotations
 
 import gzip
+import multiprocessing
 import os
 from concurrent.futures import ProcessPoolExecutor
 
@@ -39,9 +40,14 @@ def compress_file(input_file: str, output_file: str = None) -> str:
             fout.write(gzip.compress(fin.read(), compresslevel=6))
         return output_file
 
-    workers = max(1, os.cpu_count() or 1)
+    from .parallel import get_num_threads
+
+    workers = max(1, get_num_threads())
+    # spawn, not fork: the host process is multithreaded (JAX) and fork of a
+    # threaded process can deadlock in the child.
+    ctx = multiprocessing.get_context("spawn")
     with open(input_file, "rb") as fin, open(output_file, "wb") as fout, \
-            ProcessPoolExecutor(max_workers=workers) as pool:
+            ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as pool:
         futures = []
         max_inflight = workers * 4
         while True:

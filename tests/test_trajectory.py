@@ -484,3 +484,29 @@ def test_msd_consistency_via_xu():
     for t in range(6):
         got = np.column_stack([np.asarray(out[t].data[c]) for c in "xyz"])
         np.testing.assert_allclose(got, xu_traj[t])
+
+
+def test_min_image_warns_on_lammps_tilt_flip():
+    # LAMMPS clamps xy to +-lx/2; crossing the clamp re-folds the cell so xy
+    # jumps by ~lx between frames.  The min-image scan cannot unflip that —
+    # parity with the reference is to warn once (unwrap_trajectory.py:116-137).
+    lx = 10.0
+    m0 = np.array([[lx, 0, 0], [4.5, 10, 0], [0, 0, 10]])   # xy = +0.45*lx
+    m1 = np.array([[lx, 0, 0], [-4.5, 10, 0], [0, 0, 10]])  # flipped to -0.45*lx
+    f0 = _frame([[1, 1, 1]], ids=[1], box=Box(m0, [1, 1, 1]))
+    f1 = _frame([[1.1, 1, 1]], ids=[1], box=Box(m1, [1, 1, 1]))
+    f2 = _frame([[1.2, 1, 1]], ids=[1], box=Box(m1, [1, 1, 1]))
+    with pytest.warns(RuntimeWarning, match="cell flip"):
+        out = mp.unwrap_trajectory(mp.Trajectory(systems=[f0, f1, f2]))
+    assert out._unwrap_method == "min_image"
+
+
+def test_min_image_no_flip_warning_for_breathing_box():
+    # NPT-style smooth tilt drift must NOT trigger the flip warning.
+    f0 = _frame([[1, 1, 1]], ids=[1],
+                box=Box(np.array([[10, 0, 0], [0.5, 10, 0], [0, 0, 10.0]])))
+    f1 = _frame([[1.1, 1, 1]], ids=[1],
+                box=Box(np.array([[10, 0, 0], [0.7, 10, 0], [0, 0, 10.0]])))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        mp.unwrap_trajectory(mp.Trajectory(systems=[f0, f1]))

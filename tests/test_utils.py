@@ -173,3 +173,26 @@ def test_outcar_and_cfg_converters(tmp_path):
     traj = mp.Trajectory(str(out2), verbose=False)
     assert traj[0].N == 2
     assert list(np.asarray(traj[0].data["element"])) == ["Cu", "Cu"]
+
+
+def test_pigz_honors_thread_knob(tmp_path, monkeypatch):
+    # The parallel path (>5 MB) must resolve workers through get_num_threads()
+    # rather than raw os.cpu_count() (reference parallel.py governs all
+    # host-side parallelism through the one MDAPY_NUM_THREADS knob).
+    import mdapy_tpu.utils.pigz as pigz_mod
+
+    monkeypatch.setenv("MDAPY_NUM_THREADS", "1")
+    seen = {}
+    real = pigz_mod.ProcessPoolExecutor
+
+    class SpyPool(real):
+        def __init__(self, max_workers=None, **kw):
+            seen["workers"] = max_workers
+            super().__init__(max_workers=max_workers, **kw)
+
+    monkeypatch.setattr(pigz_mod, "ProcessPoolExecutor", SpyPool)
+    big = tmp_path / "big.txt"
+    big.write_bytes(b"0123456789abcdef" * (6 * 1024 * 1024 // 16))
+    gz = mp.compress_file(str(big))
+    assert seen["workers"] == 1
+    assert gzip.open(gz, "rb").read() == big.read_bytes()
