@@ -330,6 +330,53 @@ def bench_config5():
     }
 
 
+def bench_io():
+    """VERDICT r3 item 8: 10M-atom dump load through the native columnar
+    parser vs the general line parser (reference parses uniform bodies via
+    Polars' Rust CSV reader, load_save.py:42-64)."""
+    import time
+
+    from mdapy_tpu.io import load_save
+
+    path = "/tmp/bench_dump_10m.dump"
+    n = 10_000_000
+    if not os.path.exists(path) or os.path.getsize(path) < 100 * n // 3:
+        rng = np.random.default_rng(0)
+        with open(path, "w") as f:
+            f.write(
+                "ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n%d\n"
+                "ITEM: BOX BOUNDS pp pp pp\n0 400\n0 400\n0 400\n"
+                "ITEM: ATOMS id type x y z\n" % n
+            )
+            ids = np.arange(1, n + 1)
+            types = rng.integers(1, 6, n)
+            pos = rng.random((n, 3)) * 400
+            ch = 1_000_000
+            for s in range(0, n, ch):
+                e = min(s + ch, n)
+                np.savetxt(
+                    f,
+                    np.column_stack([ids[s:e], types[s:e], pos[s:e]]),
+                    fmt="%d %d %.6f %.6f %.6f",
+                )
+    raw = load_save._read_bytes(path)
+    t0 = time.time()
+    fast = load_save.parse_dump_bytes(raw)
+    t_fast = time.time() - t0
+    assert fast is not None and fast[0].nrows == n
+    t0 = time.time()
+    slow = load_save.parse_dump_frame(
+        raw.decode("utf-8", "replace").splitlines()
+    )
+    t_slow = time.time() - t0
+    assert np.array_equal(np.asarray(fast[0]["x"]), np.asarray(slow[0]["x"]))
+    return {
+        "dump_10M_load_s": round(t_fast, 3),
+        "dump_10M_lineparser_s": round(t_slow, 3),
+        "dump_load_speedup_vs_line_parser": round(t_slow / t_fast, 2),
+    }
+
+
 def main():
     import jax
 
@@ -394,6 +441,11 @@ def main():
             extra.update(bench_potentials())
         except Exception as exc:  # keep the primary metric robust
             extra["potentials_error"] = repr(exc)[:200]
+    if os.environ.get("BENCH_SKIP_IO", "0") != "1":
+        try:
+            extra.update(bench_io())
+        except Exception as exc:
+            extra["io_error"] = repr(exc)[:200]
 
     extra["hardware_note"] = (
         "ours: one TPU v5e via tunnel; reference baselines: this host's 2 "

@@ -47,6 +47,28 @@ def _open_text(filename: str, mode: str = "rt"):
     return open(filename, mode)
 
 
+def _read_bytes(filename: str) -> bytes:
+    if str(filename).endswith(".gz"):
+        with gzip.open(filename, "rb") as f:
+            return f.read()
+    with open(filename, "rb") as f:
+        return f.read()
+
+
+def _next_line(raw: bytes, pos: int) -> Tuple[str, int]:
+    """Decode one line of ``raw`` starting at ``pos``; return (line, next_pos).
+
+    Strips a trailing ``\\r`` (CRLF files) to match ``str.splitlines``."""
+    nl = raw.find(b"\n", pos)
+    if nl < 0:
+        chunk, nxt = raw[pos:], len(raw)
+    else:
+        chunk, nxt = raw[pos:nl], nl + 1
+    if chunk.endswith(b"\r"):
+        chunk = chunk[:-1]
+    return chunk.decode("utf-8", "replace"), nxt
+
+
 def _sniff_format(filename: str, fmt: Optional[str] = None) -> str:
     if fmt is not None:
         return fmt.lower()
@@ -169,6 +191,10 @@ def parse_dump_frame(lines: List[str]) -> Tuple[AtomFrame, Box, dict]:
             i += 1
     body = lines[body_start : body_start + natoms]
     cols = _normalize_types(_parse_table(body, col_names))
+    return _finish_dump_frame(cols, bounds, tilt, boundary, timestep)
+
+
+def _finish_dump_frame(cols, bounds, tilt, boundary, timestep):
     matrix, origin = _dump_box_from_bounds(bounds, tilt)
     box = Box(matrix, boundary, origin)
     # scaled coordinates -> cartesian
@@ -182,10 +208,72 @@ def parse_dump_frame(lines: List[str]) -> Tuple[AtomFrame, Box, dict]:
     return frame, box, {"timestep": timestep}
 
 
+def parse_dump_bytes(raw: bytes, start: int = 0):
+    """Columnar fast path over a raw dump buffer: decode only the ~9 header
+    lines, hand the body straight to the native table parser (no per-line
+    Python strings). Returns (frame, box, info, end_offset) or None when the
+    body is not a uniform numeric/element table (caller falls back).
+
+    Parity: reference load_save.py:42-64 (Polars read_csv fast path).
+    """
+    from . import _fast_table
+
+    pos = start
+    timestep = 0
+    natoms = -1
+    bounds = np.zeros((3, 2))
+    tilt = None
+    boundary = [1, 1, 1]
+    col_names: List[str] = []
+    body_off = -1
+    while pos < len(raw):
+        line, pos = _next_line(raw, pos)
+        if line.startswith("ITEM: TIMESTEP"):
+            line, pos = _next_line(raw, pos)
+            timestep = int(line.split()[0])
+        elif line.startswith("ITEM: NUMBER OF ATOMS"):
+            line, pos = _next_line(raw, pos)
+            natoms = int(line.split()[0])
+        elif line.startswith("ITEM: BOX BOUNDS"):
+            tokens = line.split()[3:]
+            has_tilt = "xy" in tokens
+            bc = [t for t in tokens if t in ("pp", "ff", "ss", "fs", "sf", "fm", "mm", "m", "p", "f", "s")]
+            if len(bc) >= 3:
+                boundary = [1 if b.startswith("p") else 0 for b in bc[:3]]
+            tilt_vals = []
+            for d in range(3):
+                line, pos = _next_line(raw, pos)
+                parts = line.split()
+                bounds[d] = [float(parts[0]), float(parts[1])]
+                if has_tilt and len(parts) > 2:
+                    tilt_vals.append(float(parts[2]))
+            tilt = np.array(tilt_vals) if tilt_vals else None
+        elif line.startswith("ITEM: ATOMS"):
+            col_names = line.split()[2:]
+            body_off = pos
+            break
+    if body_off < 0 or natoms < 0 or not col_names:
+        return None
+    # Bound the body before parsing so multi-frame files stay O(frame), not
+    # O(file), per frame.
+    end = _fast_table.skip_rows(raw, body_off, natoms)
+    if end < 0:
+        return None
+    cols = _fast_table.parse_block(raw, body_off, col_names, natoms, end=end)
+    if cols is None:
+        return None
+    frame, box, info = _finish_dump_frame(
+        _normalize_types(cols), bounds, tilt, boundary, timestep
+    )
+    return frame, box, info, end
+
+
 def read_dump(filename: str) -> Tuple[AtomFrame, Box, dict]:
-    with _open_text(filename) as f:
-        lines = f.read().splitlines()
-    return parse_dump_frame(lines)
+    raw = _read_bytes(filename)
+    out = parse_dump_bytes(raw)
+    if out is not None:
+        return out[:3]
+    return parse_dump_frame(raw.decode("utf-8", "replace").splitlines())
 
 
 def write_dump(
@@ -287,9 +375,11 @@ def read_xyz(filename: str) -> Tuple[AtomFrame, Box, dict]:
 
     Parity: reference load_save.py:653 (read_xyz) + :201-275 (Properties parse).
     """
-    with _open_text(filename) as f:
-        text = f.read().splitlines()
-    return parse_xyz_frame(text)
+    raw = _read_bytes(filename)
+    out = parse_xyz_bytes(raw)
+    if out is not None:
+        return out[:3]
+    return parse_xyz_frame(raw.decode("utf-8", "replace").splitlines())
 
 
 def _xyz_properties_schema(props: str) -> Tuple[List[str], List[str]]:
@@ -302,11 +392,11 @@ def _xyz_properties_schema(props: str) -> Tuple[List[str], List[str]]:
     toks = props.split(":")
     names: List[str] = []
     dtypes: List[str] = []
+    seen = set()
     for j in range(0, len(toks), 3):
         pname, ptype, pcount = toks[j], toks[j + 1], int(toks[j + 2])
         if pcount == 1:
-            names.append(pname)
-            dtypes.append(ptype)
+            comps = [pname]
         else:
             comps = [f"{pname}_{c}" for c in range(pcount)]
             if pcount == 3:
@@ -318,8 +408,19 @@ def _xyz_properties_schema(props: str) -> Tuple[List[str], List[str]]:
                     comps = ["fx", "fy", "fz"]
                 elif pname == "unwrapped_position":
                     comps = ["xu", "yu", "zu"]
-            names.extend(comps)
-            dtypes.extend([ptype] * pcount)
+        # Two entries aliasing to the same canonical names (e.g. force:R:3
+        # followed by forces:R:3): the first keeps the aliases, later ones
+        # fall through to <name>_<j> so all columns stay unique
+        # (reference behavior, tests/test_io_xyz.py dup-force case).
+        if any(c in seen for c in comps):
+            comps = [f"{pname}_{c}" for c in range(pcount)]
+        k = 0
+        while any(c in seen for c in comps):  # still colliding: re-suffix
+            k += 1
+            comps = [f"{pname}_{k}_{c}" for c in range(pcount)]
+        names.extend(comps)
+        seen.update(comps)
+        dtypes.extend([ptype] * pcount)
     return names, dtypes
 
 
@@ -377,6 +478,13 @@ def parse_xyz_frame(lines: List[str], start: int = 0) -> Tuple[AtomFrame, Box, d
         # classical xyz: element x y z, free boundary box padded around atoms
         cols = _parse_table(body, ["element", "x", "y", "z"])
         cols["element"] = cols["element"].astype(str)
+    box = _xyz_box(info, cols, has_cell)
+    cols = _normalize_types(cols)
+    frame = AtomFrame(cols)
+    return frame, box, global_info
+
+
+def _xyz_box(info: Dict[str, object], cols, has_cell: bool) -> Box:
     if has_cell:
         # Lattice="ax ay az bx by bz cx cy cz" (row-vector convention)
         lat = _floats_from_str(info.get("Lattice", info.get("lattice")))
@@ -387,14 +495,61 @@ def parse_xyz_frame(lines: List[str], start: int = 0) -> Tuple[AtomFrame, Box, d
         origin = np.zeros(3)
         if "Origin" in info:
             origin = _floats_from_str(info["Origin"])
-        box = Box(matrix, boundary, origin)
+        return Box(matrix, boundary, origin)
+    pos = np.column_stack([cols["x"], cols["y"], cols["z"]])
+    lo, hi = pos.min(0) - 5.0, pos.max(0) + 5.0
+    return Box(np.diag(hi - lo), [0, 0, 0], lo)
+
+
+def parse_xyz_bytes(raw: bytes, start: int = 0):
+    """Columnar fast path over a raw (extended) XYZ buffer; decodes only the
+    two header lines and parses the body natively. Returns
+    (frame, box, global_info, end_offset) or None on any shape surprise
+    (caller falls back to the line parser)."""
+    from . import _fast_table
+
+    line, pos = _next_line(raw, start)
+    try:
+        natoms = int(line.split()[0])
+    except (ValueError, IndexError):
+        return None
+    comment, pos = _next_line(raw, pos)
+    info = _parse_xyz_comment(comment)
+    body_end = _fast_table.skip_rows(raw, pos, natoms)
+    if body_end < 0:
+        return None
+    global_info = {}
+    lat_str = info.get("Lattice", info.get("lattice"))
+    has_cell = lat_str is not None and _floats_from_str(lat_str).size == 9
+    props_val = info.get("Properties", info.get("properties"))
+    has_props = ":" in str(props_val or "")
+    if has_cell or has_props:
+        props = str(props_val or "species:S:1:pos:R:3")
+        names, dtypes = _xyz_properties_schema(props)
+        # S columns are strings; L columns hold T/F tokens — both string-parse
+        str_cols = set(_fast_table.STR_COLS) | {
+            n for n, t in zip(names, dtypes) if t in ("S", "L")
+        }
+        cols = _fast_table.parse_block(raw, pos, names, natoms, str_cols, end=body_end)
+        if cols is None:
+            return None
+        for k, t in zip(names, dtypes):
+            if t == "I":
+                cols[k] = cols[k].astype(np.int32)
+            elif t == "L":
+                cols[k] = np.isin(cols[k], ("T", "True", "1"))
+        if "species" in cols:
+            cols["element"] = cols.pop("species").astype(str)
+        for k, v in info.items():
+            if k not in ("Lattice", "lattice", "Properties", "properties", "pbc", "Origin"):
+                global_info[k] = _maybe_number(v)
     else:
-        pos = np.column_stack([cols["x"], cols["y"], cols["z"]])
-        lo, hi = pos.min(0) - 5.0, pos.max(0) + 5.0
-        box = Box(np.diag(hi - lo), [0, 0, 0], lo)
-    cols = _normalize_types(cols)
-    frame = AtomFrame(cols)
-    return frame, box, global_info
+        cols = _fast_table.parse_block(raw, pos, ["element", "x", "y", "z"], natoms, end=body_end)
+        if cols is None:
+            return None
+    box = _xyz_box(info, cols, has_cell)
+    frame = AtomFrame(_normalize_types(cols))
+    return frame, box, global_info, body_end
 
 
 def _maybe_number(v):

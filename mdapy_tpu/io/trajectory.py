@@ -138,6 +138,33 @@ class Trajectory:
     @staticmethod
     def _read_dump(filename: str, verbose: bool) -> List:
         from ..core.system import System
+        from .load_save import _read_bytes, parse_dump_bytes
+
+        # Columnar fast path: walk the raw buffer frame by frame through the
+        # native table parser; each frame's body is bounded by skip_rows so
+        # multi-frame files stay O(file) total.
+        raw = _read_bytes(filename)
+        frames: List = []
+        pos, nb = 0, len(raw)
+        fast_ok = True
+        k = 0
+        while pos < nb:
+            while pos < nb and raw[pos] in b" \t\r\n":
+                pos += 1
+            if pos >= nb:
+                break
+            out = parse_dump_bytes(raw, pos)
+            if out is None:
+                fast_ok = False
+                break
+            frame, box, ginfo, end = out
+            frames.append(System(data=frame, box=box, global_info=ginfo))
+            k += 1
+            if verbose:
+                print(f"[dump.serial] frame {k} ({frame.nrows} atoms)")
+            pos = end
+        if fast_ok:
+            return frames
 
         lines = _read_lines(filename)
         chunks = _split_dump_frames(lines)
