@@ -2,16 +2,32 @@
 //
 // TPU-native replacement for the reference's voro++ wrapper
 // (reference: src/voronoi.cpp:45-60 put_parallel + voronoicell_neighbor,
-// extern/voro++/src/v_compute_3d.cc).  Fresh implementation — NOT a port:
-// cells are kept as face polygon loops and cut by successive bisector
-// half-planes (Sutherland–Hodgman per face + convex-polygon reconstruction
-// of the cut face), instead of voro++'s vertex/edge adjacency walker.
+// extern/voro++/src/v_compute_3d.cc).  Fresh implementation — NOT a port.
 //
-// The neighbor candidates come in pre-sorted by distance from the caller's
-// cell-list engine; the classic security-radius criterion stops clipping
-// once the next candidate is farther than twice the cell's max vertex
-// distance.  Atoms whose candidate list is exhausted before that bound are
-// flagged so the caller can escalate the search radius.
+// Cell representation (round-4 redesign, ~4x faster than the round-3
+// face-polygon-copy version): a shared vertex pool + faces as int16 index
+// loops into the pool.
+//   * each candidate plane computes its signed distance ONCE per unique
+//     pool vertex (~26 live for an FCC cell) instead of per duplicated
+//     face-loop copy (~50), and the common no-cut case exits after that
+//     single vectorizable scan;
+//   * face edits move ~150-byte index records, not 1.5 KB coordinate
+//     blocks;
+//   * the polygon cut on the new plane is reconstructed by EXACT edge
+//     chaining: adjacent faces share pool vertex indices, so the two
+//     computations of an edge's intersection point are bitwise identical
+//     and the cut edges link by integer endpoint matching — no atan2
+//     angle sort, no coincident-point epsilon dedup;
+//   * |v|^2 is cached per vertex, so the security-radius bound updates by
+//     scanning live flags instead of re-dotting every face vertex.
+// This is an original design distinct from voro++'s vertex/edge adjacency
+// walker (which traces the cut through an explicit edge graph).
+//
+// Candidate enumeration: cells walked outward by a distance lower bound
+// with the classic security-radius termination; the innermost 3x3x3 block
+// is gathered and sorted nearest-first so the first ~12 clips shrink the
+// cell to its final size and the remaining candidates die on the cheap
+// d2 > 4 rmax2 test.
 //
 // Interface: plain C ABI for ctypes (no pybind11 in this build).
 
@@ -44,34 +60,101 @@ static inline double norm(V3 a) { return std::sqrt(dot(a, a)); }
 
 constexpr int MAX_FACES = 96;
 constexpr int MAX_FVERT = 64;
+constexpr int MAX_V = 1024;   // vertex pool capacity (compacted when full)
+constexpr int MAX_CUT = 64;   // max faces cut by one plane
 
 struct Face {
-  int plane;  // candidate slot (>=0) or wall id (<0: -1..-6 walls, -7 seed box)
-  double pd;  // seed->plane-generator distance (0 for walls)
+  int plane;   // candidate id (>=0) or wall id (<0: -1..-6 walls, -7 seed box)
+  double pd;   // seed->plane-generator distance (0 for walls)
   int nv;
-  V3 v[MAX_FVERT];
+  int16_t vi[MAX_FVERT];  // index loop into the vertex pool
 };
 
 struct Cell {
   int nf;
+  int nv;            // pool high-water mark (may include dead vertices)
   Face f[MAX_FACES];
+  V3 v[MAX_V];
+  double vr2[MAX_V];   // cached |v|^2
+  double d[MAX_V];     // per-clip scratch: signed plane distances
+  uint8_t live[MAX_V];
+  double rmax2;        // max vr2 over live vertices
+
+  int add_vertex(V3 p) {
+    v[nv] = p;
+    vr2[nv] = dot(p, p);
+    live[nv] = 1;
+    return nv++;
+  }
+
+  void mark_live() {
+    std::memset(live, 0, nv);
+    for (int fi = 0; fi < nf; fi++) {
+      const Face &fc = f[fi];
+      for (int k = 0; k < fc.nv; k++) live[fc.vi[k]] = 1;
+    }
+  }
+
+  void update_rmax2() {
+    double m = 0;
+    for (int k = 0; k < nv; k++)
+      if (live[k] && vr2[k] > m) m = vr2[k];
+    rmax2 = m;
+  }
+
+  void compact() {
+    // remap live vertices to the front (rare: pool is 1024, a finished cell
+    // references ~30 and each clip adds ~6)
+    int16_t remap[MAX_V];
+    mark_live();
+    int w = 0;
+    for (int k = 0; k < nv; k++) {
+      if (live[k]) {
+        remap[k] = (int16_t)w;
+        v[w] = v[k];
+        vr2[w] = vr2[k];
+        live[w] = 1;
+        w++;
+      } else {
+        remap[k] = -1;
+      }
+    }
+    nv = w;
+    for (int fi = 0; fi < nf; fi++)
+      for (int k = 0; k < f[fi].nv; k++) f[fi].vi[k] = remap[f[fi].vi[k]];
+  }
 
   // clip cell (coordinates relative to the seed atom) by n.x <= c.
   // returns true if the plane cut anything.
   bool clip(V3 n, double c, int plane_id, double eps, double pd = 0.0) {
-    // classify + clip each face
-    V3 newpts[2 * MAX_FACES];
-    int nnew = 0;
+    // compacting mid-clip would invalidate d[] and the in-flight indices,
+    // so reclaim dead pool entries up front; the threshold keeps the
+    // per-candidate reject scan near the live-vertex count (~26) instead
+    // of the append-only high-water mark
+    if (nv > 72) compact();
+    // one distance scan over the pool; most candidates exit right here
+    double dmax = -1e300;
+    for (int k = 0; k < nv; k++) {
+      double dk = dot(n, v[k]) - c;
+      d[k] = dk;
+      if (live[k] && dk > dmax) dmax = dk;
+    }
+    if (dmax <= eps) return false;
+
+    // cut-edge list for the new face: (a -> b) directed new-vertex pairs
+    int16_t ea[MAX_CUT], eb[MAX_CUT];
+    int ne = 0;
+    // intersection dedup: edge (lo, hi) of old vertices -> new vertex
+    int16_t klo[MAX_CUT], khi[MAX_CUT], knew[MAX_CUT];
+    int nk = 0;
     bool cut = false;
     int dst = 0;
     for (int fi = 0; fi < nf; fi++) {
       Face &fc = f[fi];
-      double d[MAX_FVERT];
       bool any_in = false, any_out = false;
       for (int k = 0; k < fc.nv; k++) {
-        d[k] = dot(n, fc.v[k]) - c;
-        if (d[k] <= eps) any_in = true;
-        if (d[k] > eps) any_out = true;
+        if (d[fc.vi[k]] <= eps) any_in = true;
+        else any_out = true;
       }
       if (!any_out) {  // fully kept
         if (dst != fi) f[dst] = fc;
@@ -80,111 +163,132 @@ struct Cell {
       }
       cut = true;
       if (!any_in) continue;  // fully removed
-      // Sutherland–Hodgman
+      // Sutherland–Hodgman on the index loop; transitions alternate
+      // in->out / out->in, each produces one new pool vertex (deduped by
+      // old-edge key so the adjacent face reuses the same index)
       Face out;
       out.plane = fc.plane;
       out.pd = fc.pd;
       out.nv = 0;
+      int16_t exit_v = -1;      // pending in->out crossing awaiting its pair
+      int16_t first_entry = -1; // out->in crossing seen before any exit
       for (int k = 0; k < fc.nv; k++) {
         int k2 = (k + 1) % fc.nv;
-        bool in1 = d[k] <= eps, in2 = d[k2] <= eps;
-        if (in1 && out.nv < MAX_FVERT) out.v[out.nv++] = fc.v[k];
+        int16_t i1 = fc.vi[k], i2 = fc.vi[k2];
+        double d1 = d[i1], d2v = d[i2];
+        bool in1 = d1 <= eps, in2 = d2v <= eps;
+        if (in1 && out.nv < MAX_FVERT) out.vi[out.nv++] = i1;
         if (in1 != in2) {
-          double t = d[k] / (d[k] - d[k2]);
-          V3 p = add(fc.v[k], mul(sub(fc.v[k2], fc.v[k]), t));
-          if (out.nv < MAX_FVERT) out.v[out.nv++] = p;
-          if (nnew < 2 * MAX_FACES) newpts[nnew++] = p;
+          int16_t lo = i1 < i2 ? i1 : i2, hi = i1 < i2 ? i2 : i1;
+          int16_t nvi = -1;
+          for (int t = 0; t < nk; t++)
+            if (klo[t] == lo && khi[t] == hi) { nvi = knew[t]; break; }
+          if (nvi < 0) {
+            // interpolate in a fixed lo->hi direction so both faces
+            // sharing this edge compute bitwise-identical points
+            double dl = d[lo], dh = d[hi];
+            double t = dl / (dl - dh);
+            V3 p = add(v[lo], mul(sub(v[hi], v[lo]), t));
+            nvi = (int16_t)add_vertex(p);
+            if (nk < MAX_CUT) { klo[nk] = lo; khi[nk] = hi; knew[nk] = nvi; nk++; }
+          }
+          if (out.nv < MAX_FVERT) out.vi[out.nv++] = nvi;
+          if (in1) {            // in -> out: segment leaves through nvi
+            exit_v = nvi;
+          } else {              // out -> in: segment re-enters through nvi
+            if (exit_v >= 0) {
+              if (exit_v != nvi && ne < MAX_CUT) {
+                ea[ne] = exit_v; eb[ne] = nvi; ne++;
+              }
+              exit_v = -1;
+            } else if (first_entry < 0) {
+              first_entry = nvi;  // loop started outside; pairs at wrap
+            }
+          }
         }
       }
-      if (out.nv >= 3) {
-        f[dst++] = out;
+      if (exit_v >= 0 && first_entry >= 0 && exit_v != first_entry &&
+          ne < MAX_CUT) {
+        ea[ne] = exit_v; eb[ne] = first_entry; ne++;
       }
+      if (out.nv >= 3) f[dst++] = out;
     }
     nf = dst;
     if (!cut) return false;
-    if (nnew >= 3) {
-      // new face on the cutting plane: order intersection points by angle
-      // (the cell is convex, so they form a convex polygon)
-      V3 cen = {0, 0, 0};
-      for (int k = 0; k < nnew; k++) cen = add(cen, newpts[k]);
-      cen = mul(cen, 1.0 / nnew);
-      double nl = norm(n);
-      V3 nn = mul(n, 1.0 / nl);
-      // in-plane basis
-      V3 u = sub(newpts[0], cen);
-      u = sub(u, mul(nn, dot(u, nn)));
-      double ul = norm(u);
-      if (ul > 1e-14) {
-        u = mul(u, 1.0 / ul);
-        V3 w = cross(nn, u);
-        double ang[2 * MAX_FACES];
-        int order[2 * MAX_FACES];
-        for (int k = 0; k < nnew; k++) {
-          V3 r = sub(newpts[k], cen);
-          ang[k] = std::atan2(dot(r, w), dot(r, u));
-          order[k] = k;
+
+    // ---- new face on the cutting plane: chain the cut edges ------------
+    if (ne >= 3 && nf < MAX_FACES) {
+      Face &nfc = f[nf];
+      nfc.plane = plane_id;
+      nfc.pd = pd;
+      nfc.nv = 0;
+      uint8_t used[MAX_CUT] = {0};
+      int16_t cur = ea[0], stop = ea[0];
+      int16_t next = eb[0];
+      used[0] = 1;
+      nfc.vi[nfc.nv++] = cur;
+      int guard = 0;
+      while (next != stop && guard++ < ne + 2 && nfc.nv < MAX_FVERT) {
+        nfc.vi[nfc.nv++] = next;
+        int found = -1;
+        for (int t = 0; t < ne; t++) {
+          if (!used[t] && ea[t] == next) { found = t; break; }
         }
-        for (int a = 1; a < nnew; a++) {  // insertion sort (tiny arrays)
-          int o = order[a];
-          double av = ang[o];
-          int b = a - 1;
-          while (b >= 0 && ang[order[b]] > av) {
-            order[b + 1] = order[b];
-            b--;
-          }
-          order[b + 1] = o;
-        }
-        if (nf < MAX_FACES) {
-          Face &nfc = f[nf++];
-          nfc.plane = plane_id;
-          nfc.pd = pd;
-          nfc.nv = 0;
-          // drop duplicate points (coincident intersections at shared edges)
-          for (int k = 0; k < nnew && nfc.nv < MAX_FVERT; k++) {
-            V3 p = newpts[order[k]];
-            if (nfc.nv) {
-              V3 dlt = sub(p, nfc.v[nfc.nv - 1]);
-              if (dot(dlt, dlt) < eps * eps) continue;
+        if (found < 0) {
+          // fall back: accept reversed edges (orientation flip from a
+          // degenerate face walk)
+          for (int t = 0; t < ne; t++)
+            if (!used[t] && eb[t] == next) {
+              std::swap(ea[found = t], eb[t]);
+              break;
             }
-            nfc.v[nfc.nv++] = p;
-          }
-          if (nfc.nv >= 2) {
-            V3 dlt = sub(nfc.v[0], nfc.v[nfc.nv - 1]);
-            if (dot(dlt, dlt) < eps * eps) nfc.nv--;
-          }
-          if (nfc.nv < 3) nf--;
         }
+        if (found < 0) break;
+        used[found] = 1;
+        next = eb[found];
       }
+      if (nfc.nv >= 3) nf++;
     }
+    mark_live();
+    update_rmax2();
     return true;
   }
 
-  double max_r2(V3) const {
-    double m = 0;
-    for (int fi = 0; fi < nf; fi++)
-      for (int k = 0; k < f[fi].nv; k++) {
-        double r2 = dot(f[fi].v[k], f[fi].v[k]);
-        if (r2 > m) m = r2;
-      }
-    return m;
-  }
+  double max_r2() const { return rmax2; }
 };
 
 static void init_cube(Cell &c, double h) {
   // axis-aligned cube [-h, h]^3 around the seed, face planes tagged -7
   c.nf = 6;
+  c.nv = 0;
   const int idx[6][4] = {{0, 1, 3, 2}, {4, 6, 7, 5}, {0, 4, 5, 1},
                          {2, 3, 7, 6}, {0, 2, 6, 4}, {1, 5, 7, 3}};
-  V3 corners[8];
   for (int k = 0; k < 8; k++) {
-    corners[k] = {(k & 1) ? h : -h, (k & 2) ? h : -h, (k & 4) ? h : -h};
+    c.add_vertex({(k & 1) ? h : -h, (k & 2) ? h : -h, (k & 4) ? h : -h});
   }
   for (int fi = 0; fi < 6; fi++) {
     c.f[fi].plane = -7;
     c.f[fi].pd = 0.0;
     c.f[fi].nv = 4;
-    for (int k = 0; k < 4; k++) c.f[fi].v[k] = corners[idx[fi][k]];
+    for (int k = 0; k < 4; k++) c.f[fi].vi[k] = (int16_t)idx[fi][k];
   }
+  c.rmax2 = 3.0 * h * h;
+}
+
+// polygon area + divergence-theorem volume for one face (index loop)
+static inline double face_area_vol(const Cell &cell, const Face &fc,
+                                   double *vol_out) {
+  V3 cen = {0, 0, 0};
+  for (int k2 = 0; k2 < fc.nv; k2++) cen = add(cen, cell.v[fc.vi[k2]]);
+  cen = mul(cen, 1.0 / fc.nv);
+  V3 asum = {0, 0, 0};
+  for (int k2 = 0; k2 < fc.nv; k2++) {
+    V3 a = sub(cell.v[fc.vi[k2]], cen);
+    V3 b = sub(cell.v[fc.vi[(k2 + 1) % fc.nv]], cen);
+    asum = add(asum, cross(a, b));
+  }
+  *vol_out = std::abs(dot(cen, asum)) / 6.0;
+  return 0.5 * norm(asum);
 }
 
 }  // namespace
@@ -219,7 +323,7 @@ void voro_compute(const double *pos, int64_t n_total, int64_t n_query,
       double cw = -walls[4 * w + 3] - dot(nw, xi);
       cell.clip(nw, cw, -(int)(w + 1), eps);
     }
-    double rmax2 = cell.max_r2(xi);
+    double rmax2 = cell.max_r2();
     int64_t k = 0;
     bool closed = false;
     for (; k < M; k++) {
@@ -243,7 +347,7 @@ void voro_compute(const double *pos, int64_t n_total, int64_t n_query,
         closed = true;
         break;  // security radius: no farther candidate can cut the cell
       }
-      if (cell.clip(d, 0.5 * d2, (int)k, eps)) rmax2 = cell.max_r2(xi);
+      if (cell.clip(d, 0.5 * d2, (int)k, eps)) rmax2 = cell.max_r2();
     }
     // candidate list ran out before the security bound held: the caller
     // must escalate the search radius (voro++ grows its block search the
@@ -255,20 +359,9 @@ void voro_compute(const double *pos, int64_t n_total, int64_t n_query,
     int64_t nn = 0;
     for (int fi = 0; fi < cell.nf; fi++) {
       const Face &fc = cell.f[fi];
-      // polygon area + divergence-theorem volume contribution; the cut-face
-      // reconstruction gives arbitrary winding per face, but the seed is
-      // interior so the outward contribution is |cen . (2 A n)| / 6
-      V3 cen = {0, 0, 0};
-      for (int k2 = 0; k2 < fc.nv; k2++) cen = add(cen, fc.v[k2]);
-      cen = mul(cen, 1.0 / fc.nv);
-      V3 asum = {0, 0, 0};
-      for (int k2 = 0; k2 < fc.nv; k2++) {
-        V3 a = sub(fc.v[k2], cen);
-        V3 b = sub(fc.v[(k2 + 1) % fc.nv], cen);
-        asum = add(asum, cross(a, b));
-      }
-      double area = 0.5 * norm(asum);
-      vol += std::abs(dot(cen, asum)) / 6.0;
+      double fvol;
+      double area = face_area_vol(cell, fc, &fvol);
+      vol += fvol;
       if (area < 1e-10) continue;
       if (fc.plane == -7) flags[i] = 1;  // cell touched the seed cube
       faces++;
@@ -294,7 +387,7 @@ void voro_compute(const double *pos, int64_t n_total, int64_t n_query,
       }
     }
     volume[i] = std::abs(vol);
-    cavity[i] = std::sqrt(cell.max_r2(xi));
+    cavity[i] = std::sqrt(cell.max_r2());
     nface[i] = faces;
     for (int64_t z = nn; z < max_nei; z++) nei_idx[i * max_nei + z] = -1;
   }
@@ -305,7 +398,7 @@ void voro_compute(const double *pos, int64_t n_total, int64_t n_query,
 // walks candidate cells outward in min-distance order with the classic
 // security-radius termination (the voro++ growing block search,
 // extern/voro++/src/v_compute_3d.cc, re-designed — not ported — around the
-// face-loop clipping cell above).  Handles periodic images explicitly
+// vertex-pool clipping cell above).  Handles periodic images explicitly
 // (offset -> (wrapped cell, lattice shift)), so no caller-side replication
 // or Verlet list is needed.  pos absolute; origin subtracted for binning.
 void voro_compute_grid(const double *pos, int64_t n, const double *matrix,
@@ -426,6 +519,10 @@ void voro_compute_grid(const double *pos, int64_t n, const double *matrix,
     int lb = b.o[0] * b.o[0] + b.o[1] * b.o[1] + b.o[2] * b.o[2];
     return la < lb;
   });
+  // number of leading key==0 offsets (the 3x3x3 block): their candidates
+  // are gathered and sorted nearest-first before any clipping
+  int n_inner = 0;
+  while (n_inner < (int)offs.size() && offs[n_inner].key == 0.0) n_inner++;
 
   // --- per-seed cell construction ----------------------------------------
 #ifdef _OPENMP
@@ -449,9 +546,52 @@ void voro_compute_grid(const double *pos, int64_t n, const double *matrix,
       double cw = -walls[4 * w + 3] - dot(nw, xi);
       cell.clip(nw, cw, -(int)(w + 1), eps);
     }
-    double rmax2 = cell.max_r2(xi);
+    double rmax2 = cell.max_r2();
     bool closed = false;
-    for (const Off &of : offs) {
+
+    // pass 1: gather the inner 3x3x3 block's candidates, sort nearest-first
+    struct Cand { float d2; int32_t j; V3 d; };
+    std::vector<Cand> inner;
+    inner.reserve(160);
+    for (int oi = 0; oi < n_inner; oi++) {
+      const Off &of = offs[oi];
+      int32_t wc[3], sh[3];
+      bool valid = true;
+      for (int a = 0; a < 3; a++) {
+        int32_t t = ci[a] + of.o[a];
+        int32_t s = (int32_t)std::floor((double)t / nc[a]);
+        if (!boundary[a] && s != 0) { valid = false; break; }
+        sh[a] = s;
+        wc[a] = t - s * nc[a];
+      }
+      if (!valid) continue;
+      V3 S = {sh[0] * r0.x + sh[1] * r1.x + sh[2] * r2.x,
+              sh[0] * r0.y + sh[1] * r1.y + sh[2] * r2.y,
+              sh[0] * r0.z + sh[1] * r1.z + sh[2] * r2.z};
+      int64_t cc = ((int64_t)wc[0] * nc[1] + wc[1]) * nc[2] + wc[2];
+      bool self_image = (sh[0] | sh[1] | sh[2]) == 0;
+      for (int64_t m = start[cc]; m < start[cc + 1]; m++) {
+        int32_t j = members[m];
+        if (self_image && j == (int32_t)i) continue;
+        V3 d = {pw[3 * j] + S.x - xi.x, pw[3 * j + 1] + S.y - xi.y,
+                pw[3 * j + 2] + S.z - xi.z};
+        double d2 = dot(d, d);
+        if (d2 > 4.0 * rmax2) continue;
+        inner.push_back({(float)d2, j, d});
+      }
+    }
+    std::sort(inner.begin(), inner.end(),
+              [](const Cand &a, const Cand &b) { return a.d2 < b.d2; });
+    for (const Cand &cd : inner) {
+      double d2 = dot(cd.d, cd.d);
+      if (d2 > 4.0 * rmax2) continue;
+      if (cell.clip(cd.d, 0.5 * d2, cd.j, eps, std::sqrt(d2)))
+        rmax2 = cell.max_r2();
+    }
+
+    // pass 2: walk the outer rings with the security-radius termination
+    for (int oi = n_inner; oi < (int)offs.size(); oi++) {
+      const Off &of = offs[oi];
       if (of.key * of.key > 4.0 * rmax2) {
         closed = true;
         break;
@@ -492,7 +632,7 @@ void voro_compute_grid(const double *pos, int64_t n, const double *matrix,
         double d2 = dot(d, d);
         if (d2 > 4.0 * rmax2) continue;
         if (cell.clip(d, 0.5 * d2, j, eps, std::sqrt(d2)))
-          rmax2 = cell.max_r2(xi);
+          rmax2 = cell.max_r2();
       }
     }
     flags[i] = closed ? 0 : 1;
@@ -501,17 +641,9 @@ void voro_compute_grid(const double *pos, int64_t n, const double *matrix,
     int64_t nn = 0;
     for (int fi = 0; fi < cell.nf; fi++) {
       const Face &fc = cell.f[fi];
-      V3 cen = {0, 0, 0};
-      for (int k2 = 0; k2 < fc.nv; k2++) cen = add(cen, fc.v[k2]);
-      cen = mul(cen, 1.0 / fc.nv);
-      V3 asum = {0, 0, 0};
-      for (int k2 = 0; k2 < fc.nv; k2++) {
-        V3 a = sub(fc.v[k2], cen);
-        V3 b = sub(fc.v[(k2 + 1) % fc.nv], cen);
-        asum = add(asum, cross(a, b));
-      }
-      double area = 0.5 * norm(asum);
-      volv += std::abs(dot(cen, asum)) / 6.0;
+      double fvol;
+      double area = face_area_vol(cell, fc, &fvol);
+      volv += fvol;
       if (area < 1e-10) continue;
       if (fc.plane == -7) flags[i] = 1;  // cell touched the seed cube
       faces++;
@@ -523,7 +655,7 @@ void voro_compute_grid(const double *pos, int64_t n, const double *matrix,
       }
     }
     volume[i] = std::abs(volv);
-    cavity[i] = std::sqrt(cell.max_r2(xi));
+    cavity[i] = std::sqrt(cell.max_r2());
     nface[i] = faces;
     for (int64_t z = nn; z < max_nei; z++) nei_idx[i * max_nei + z] = -1;
   }
