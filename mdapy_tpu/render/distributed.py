@@ -69,6 +69,7 @@ def render_image_mega_sharded(
     occ_recs=None,
     n_occ: int = 0,
     extra_lights=None,
+    tile_px: int = 16,
 ):
     """Megakernel forward with the screen-tile axis sharded over ``mesh``.
 
@@ -82,7 +83,8 @@ def render_image_mega_sharded(
     the single-device image exactly; jittered AA samples use band-local
     tile hashes, which is a different (equally valid) AA sequence.
     """
-    from .megakernel import TILE_PX, render_image_mega
+    from .megakernel import render_image_mega
+    TILE_PX = tile_px
 
     (axis,) = mesh.axis_names
     n = int(mesh.devices.size)
@@ -114,7 +116,7 @@ def render_image_mega_sharded(
             S=S, width=width, height=band_h,
             tiles_x=tiles_x, tiles_y=rows_t, grid_n=grid_n, eps=eps,
             perspective=perspective, shadows=shadows, interpret=interpret,
-            extra_lights=extra_lights,
+            extra_lights=extra_lights, tile_px=tile_px,
             **kw,
         )
         return img

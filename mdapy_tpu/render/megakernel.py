@@ -169,8 +169,11 @@ def _mega_kernel(
     debug_phases: int = 5,
     ao_shared: bool = False,
     n_peel: int = 1,
+    tile_px: int = TILE_PX,
 ):
     G = TILE_GROUP
+    TILE_PX = tile_px         # shadow the module defaults: the kernel is
+    P = tile_px * tile_px     # parametric over the screen-tile edge now
     SP = S * P
     group = pl.program_id(0)
     f32 = jnp.float32
@@ -1105,7 +1108,7 @@ def _mega_kernel(
     static_argnames=(
         "S", "width", "height", "tiles_x", "tiles_y", "grid_n",
         "eps", "perspective", "shadows", "interpret", "debug_phases",
-        "quantized", "n_occ", "ao_shared", "n_peel",
+        "quantized", "n_occ", "ao_shared", "n_peel", "tile_px",
     ),
 )
 def render_image_mega(
@@ -1135,6 +1138,7 @@ def render_image_mega(
     extra_lights=None,   # list of (lparams_row(16,), ldata, loffs, lcnt, occ)
     ao_shared: bool = False,
     n_peel: int = 1,     # transparency-peeling budget (1 = opaque fast path)
+    tile_px: int = TILE_PX,
 ):
     """Full-frame fused render.
 
@@ -1147,6 +1151,8 @@ def render_image_mega(
 
     Returns (height, width, 3) float RGB, or uint8 when ``quantized`` (the
     on-device serving path — keeps the host transfer at 3 bytes/pixel)."""
+    TILE_PX = tile_px
+    P = tile_px * tile_px
     nb, nchunks, _, CH = chunk_data.shape
     assert nb == tiles_x * tiles_y
     assert n_peel == 1 or other_data is None, (
@@ -1222,7 +1228,7 @@ def render_image_mega(
         grid_n=grid_n, eps=eps, perspective=perspective, shadows=shadows,
         other=other, n_occ=(n_occ if shadows else 0), ZC=ZC,
         L=L, ncells_l=ncells_l, debug_phases=debug_phases,
-        ao_shared=ao_shared, n_peel=n_peel,
+        ao_shared=ao_shared, n_peel=n_peel, tile_px=tile_px,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -1307,6 +1313,7 @@ def render_image_mega_banded(
     from .pallas_kernels import gather_chunk_data, pack_sphere_table
 
     tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
+    TILE_PX = bins.tile_px
     nb, nchunks, CH = bins.sph_chunks.shape
     bytes_per_row = tiles_x * nchunks * 8 * CH * 4
     rows_band = max(1, min(tiles_y, max_band_bytes // max(bytes_per_row, 1)))
@@ -1337,7 +1344,7 @@ def render_image_mega_banded(
             tiles_x=tiles_x, tiles_y=rows_band, grid_n=grid_n, eps=eps,
             perspective=perspective, shadows=shadows, interpret=interpret,
             quantized=quantized, extra_lights=extra_lights,
-            ao_shared=ao_shared, n_peel=n_peel,
+            ao_shared=ao_shared, n_peel=n_peel, tile_px=TILE_PX,
         ))
     img = jnp.concatenate(imgs, axis=0)
     pad_top = tiles_y * TILE_PX - height

@@ -114,7 +114,7 @@ def render_image_mega_hier(
     grid_n: int, eps: float, perspective: bool, shadows: bool,
     mesh, interpret: bool = False,
     other_data=None, other_count=None, occ_recs=None, n_occ: int = 0,
-    extra_lights=None,
+    extra_lights=None, tile_px: int = 16,
 ):
     """Megakernel forward over a hierarchical mesh.
 
@@ -127,7 +127,8 @@ def render_image_mega_hier(
     from jax.sharding import PartitionSpec as P
 
     from .distributed import shard_map
-    from .megakernel import TILE_PX, render_image_mega
+    from .megakernel import render_image_mega
+    TILE_PX = tile_px
 
     axes = _band_axes(mesh)
     n = int(np.prod(mesh.devices.shape))
@@ -154,7 +155,7 @@ def render_image_mega_hier(
             S=S, width=width, height=band_h,
             tiles_x=tiles_x, tiles_y=rows_t, grid_n=grid_n, eps=eps,
             perspective=perspective, shadows=shadows, interpret=interpret,
-            extra_lights=extra_lights, **kw,
+            extra_lights=extra_lights, tile_px=tile_px, **kw,
         )
 
     rev = np.arange(n - 1, -1, -1)

@@ -338,7 +338,18 @@ class TachyonRender:
                 if getattr(self, "_accel_key", None) == cache_key:
                     bins, lb, self._chunk_data_cached = self._accel_cache
                 else:
-                    bins = build_screen_bins(scene, frame, int(width), int(height))
+                    # 32px tiles quarter the per-tile fixed costs (DMA
+                    # waits, loop control) that dominate the megakernel's
+                    # trace and shadow phases; scenes that will miss the
+                    # megakernel (bond-heavy, no direct light) keep the
+                    # band pipeline's measured 16px optimum
+                    _sph_only = bond_edges is None and box_edges is None
+                    _tpx = int(os.environ.get(
+                        "MDAPY_TPU_TILE_PX",
+                        "32" if (self.use_pallas and _sph_only
+                                 and cfg.direct_light_enabled) else "16"))
+                    bins = build_screen_bins(
+                        scene, frame, int(width), int(height), tile_px=_tpx)
                     # grid=32: measured sweet spot for the megakernel's
                     # cell-rect iteration on the 1M-atom 1080p bench
                     # (sweep: 16->76.7ms, 24->54.0, 32->54.4, 48->58.9,
@@ -379,7 +390,7 @@ class TachyonRender:
                 # must cover the AO case too
                 use_mega = (
                     use_pallas and bins.sph_chunks is not None
-                    and bins.tile_px == 16 and cfg.direct_light_enabled
+                    and bins.tile_px in (8, 16, 32) and cfg.direct_light_enabled
                     and (sphere_only or k_other <= 512)
                     and (sphere_only
                          or not (cfg.shadows_enabled or cfg.ao_enabled)
@@ -575,6 +586,7 @@ class TachyonRender:
                             extra_lights=extra_lights,
                             ao_shared=_ao_shared,
                             n_peel=_peel,
+                            tile_px=bins.tile_px,
                             **other_kw,
                         )
                     if device_output:

@@ -38,7 +38,8 @@ def _fcc_scene(n=3):
     return pos, colors.astype(np.float32), radii
 
 
-def _render_both(pos, colors, radii, preset, aa_samples, shadows, seed=0):
+def _render_both(pos, colors, radii, preset, aa_samples, shadows, seed=0,
+                 tile_px=16):
     cam = preset_camera(preset, pos, max_radius=float(radii.max()))
     scene = jax.tree.map(
         lambda x: jnp.asarray(x, jnp.float32),
@@ -50,13 +51,16 @@ def _render_both(pos, colors, radii, preset, aa_samples, shadows, seed=0):
         aa_samples=aa_samples, aa_enabled=aa_samples > 0,
         ao_samples=0, ao_enabled=False, shadows_enabled=shadows,
     )
-    bins = build_screen_bins(scene, frame, W, H)
+    bins = build_screen_bins(scene, frame, W, H, tile_px=tile_px)
+    bins16 = (bins if tile_px == 16
+              else build_screen_bins(scene, frame, W, H, tile_px=16))
     lb = build_light_bins(scene, np.asarray(frame["light_dir"], np.float32), grid=48)
     ref = np.asarray(render_image_tiled(
-        scene, bins, lb,
+        scene, bins16, lb,
         frame["origin"], frame["lowleft"], frame["iplaneright"],
         frame["iplaneup"], frame["view"], frame["light_dir"],
-        cfg, W, H, persp, seed, bins.tile_px, bins.tiles_x, bins.tiles_y,
+        cfg, W, H, persp, seed, bins16.tile_px, bins16.tiles_x,
+        bins16.tiles_y,
     ))
     cd = gather_chunk_data(
         bins.sph_chunks, scene.sph_center, scene.sph_radius, scene.sph_color
@@ -70,7 +74,7 @@ def _render_both(pos, colors, radii, preset, aa_samples, shadows, seed=0):
         S=aa_samples + 1, width=W, height=H,
         tiles_x=bins.tiles_x, tiles_y=bins.tiles_y,
         grid_n=48, eps=cfg.eps, perspective=persp, shadows=shadows,
-        interpret=True,
+        interpret=True, tile_px=tile_px,
     ))
     return ref, img
 
@@ -166,3 +170,15 @@ def test_mega_banded_matches_full():
         max_band_bytes=one_row, **kw
     ))
     np.testing.assert_allclose(banded, full, atol=1e-6)
+
+
+@pytest.mark.parametrize("shadows", [False, True])
+def test_mega_tile32_exact(shadows):
+    """tile_px=32 (the TPU throughput default for sphere scenes) must
+    reproduce the 16px-tile image: tiling is an execution detail."""
+    pos, colors, radii = _fcc_scene()
+    ref, img = _render_both(pos, colors, radii, "perspective", 0, shadows,
+                            tile_px=32)
+    d = np.abs(img - ref)
+    assert int((d.max(axis=2) > 1e-3).sum()) <= 2
+    assert d.mean() < 1e-4
