@@ -209,14 +209,31 @@ class EAM(CalculatorMP):
         return self._tab_cache
 
     def calculate(self, system) -> None:
-        elems = np.asarray(system.data["element"]).astype(str)
-        for e in set(elems.tolist()):
-            if e not in self.elements_list:
-                raise ValueError(
-                    f"{e} not supported by this EAM potential ({self.elements_list})"
-                )
-        lut = {e: i for i, e in enumerate(self.elements_list)}
-        types = np.array([lut[e] for e in elems], dtype=np.int32)
+        # element->type mapping is invariant across force calls on the same
+        # frame (a minimizer/MD loop moves atoms, not species) — cache it on
+        # the system; the vectorized unique/inverse path avoids a Python
+        # loop over N atoms on cache misses
+        ckey = (id(system.data), system.N, tuple(self.elements_list))
+        cached = getattr(system, "_eam_type_cache", None)
+        if cached is not None and cached[0] == ckey:
+            types = cached[1]
+        else:
+            elems = np.asarray(system.data["element"]).astype(str)
+            uniq, inv = np.unique(elems, return_inverse=True)
+            for e in uniq.tolist():
+                if e not in self.elements_list:
+                    raise ValueError(
+                        f"{e} not supported by this EAM potential "
+                        f"({self.elements_list})"
+                    )
+            lutv = np.array(
+                [self.elements_list.index(e) for e in uniq.tolist()], np.int32
+            )
+            types = lutv[inv]
+            try:
+                system._eam_type_cache = (ckey, types)
+            except AttributeError:
+                pass
         old_n = system.N
         pos, box, n_images = replicate_for_small_box(system.pos, system.box, self.rc)
         if n_images > 1:

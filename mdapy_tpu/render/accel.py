@@ -358,7 +358,14 @@ def build_screen_bins(scene, frame, width: int, height: int, tile_px: int = 16) 
         k128 = max(128, -(-K // 128) * 128)
         if k128 != K:
             cand = jnp.pad(cand, ((0, 0), (0, k128 - K)), constant_values=-1)
-        chunk = min(128, cand.shape[1])
+        # wider chunks cut the per-chunk fixed costs (DMA wait + loop
+        # control + scalar-core sync) that bound the megakernel trace;
+        # early-exit granularity coarsens, but rejected intersections are
+        # cheap VPU work
+        import os as _os
+
+        chunk = min(int(_os.environ.get("MDAPY_TPU_CHUNK_W", "128")),
+                    cand.shape[1])
         sph_chunks, sph_zmin = _depth_sort_bins(
             cand, out["sph"].count,
             scene.sph_center, scene.sph_radius, origin, view, chunk,

@@ -221,9 +221,6 @@ def _mega_kernel(
     ambient = params_ref[38]  # material ambient term (0 for AO sky passes)
     seed = seed_ref[0]
 
-    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    sub_x = jnp.remainder(pix, TILE_PX).astype(f32)
-    sub_y = (pix // TILE_PX).astype(f32)
     cand_f = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0).astype(f32)
 
     def srow(row, s):
@@ -273,12 +270,20 @@ def _mega_kernel(
                 previous hit when peel > 0) -> traversal -> shade -> lights
                 -> weight/color accumulation (RT_TRANS_VMD peeling,
                 matching tracer.py's peel scan)."""
-                # ---- ray generation: (1, P) lane vectors per sample ------------
-                def raygen(s, _):
-                    jx, jy = _hash_jitter(tile, s, seed, pix)
-                    nz = jnp.where(s > 0, f32(1.0), f32(0.0))
-                    x = txf * TILE_PX + sub_x + off + jx * nz
-                    y = tyf * TILE_PX + sub_y + off + jy * nz
+                # ---- ray generation: one full-width (1, S*P) pass --------------
+                # (per-sample fori_loop slices are DYNAMIC lane-offset
+                # reads/writes, which Mosaic lowers to costly shifts; the
+                # sample index is recovered from the lane iota instead)
+                def raygen_full():
+                    pixf = jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1)
+                    pixl = jax.lax.rem(pixf, jnp.int32(P))
+                    s_vec = pixf // jnp.int32(P)
+                    jx, jy = _hash_jitter(tile, s_vec, seed, pixl)
+                    nz = jnp.where(s_vec > 0, f32(1.0), f32(0.0))
+                    sub_xf = jnp.remainder(pixl, TILE_PX).astype(f32)
+                    sub_yf = (pixl // TILE_PX).astype(f32)
+                    x = txf * TILE_PX + sub_xf + off + jx * nz
+                    y = tyf * TILE_PX + sub_yf + off + jy * nz
                     dx = llx + x * iprx + y * ipux
                     dy = lly + x * ipry + y * ipuy
                     dz = llz + x * iprz + y * ipuz
@@ -287,27 +292,27 @@ def _mega_kernel(
                         dx, dy, dz = dx * inv, dy * inv, dz * inv
                         rox, roy, roz = ox, oy, oz
                         if n_peel > 1 and peel == 0:
-                            set_srow(_OX, s, jnp.full((1, P), ox, f32))
-                            set_srow(_OY, s, jnp.full((1, P), oy, f32))
-                            set_srow(_OZ, s, jnp.full((1, P), oz, f32))
+                            state[pl.ds(_OX, 1), :] = jnp.full((1, SP), ox, f32)
+                            state[pl.ds(_OY, 1), :] = jnp.full((1, SP), oy, f32)
+                            state[pl.ds(_OZ, 1), :] = jnp.full((1, SP), oz, f32)
                     else:
                         rox, roy, roz = dx, dy, dz
-                        dx = jnp.full((1, P), vwx, f32)
-                        dy = jnp.full((1, P), vwy, f32)
-                        dz = jnp.full((1, P), vwz, f32)
+                        dx = jnp.full((1, SP), vwx, f32)
+                        dy = jnp.full((1, SP), vwy, f32)
+                        dz = jnp.full((1, SP), vwz, f32)
                         if peel == 0:
-                            set_srow(_OX, s, rox)
-                            set_srow(_OY, s, roy)
-                            set_srow(_OZ, s, roz)
+                            state[pl.ds(_OX, 1), :] = rox
+                            state[pl.ds(_OY, 1), :] = roy
+                            state[pl.ds(_OZ, 1), :] = roz
                     if peel > 0:
                         # advance past the previous hit (rows 5-7 hold the
                         # hit point from the last shade) by eps along d
-                        rox = srow(_OX, s) + eps * dx
-                        roy = srow(_OY, s) + eps * dy
-                        roz = srow(_OZ, s) + eps * dz
-                        set_srow(_OX, s, rox)
-                        set_srow(_OY, s, roy)
-                        set_srow(_OZ, s, roz)
+                        rox = state[pl.ds(_OX, 1), :] + eps * dx
+                        roy = state[pl.ds(_OY, 1), :] + eps * dy
+                        roz = state[pl.ds(_OZ, 1), :] + eps * dz
+                        state[pl.ds(_OX, 1), :] = rox
+                        state[pl.ds(_OY, 1), :] = roy
+                        state[pl.ds(_OZ, 1), :] = roz
                     # ray-AABB exit for the early-termination cap
                     def axis_exit(o1, d1, lo1, hi1):
                         invd = 1.0 / jnp.where(jnp.abs(d1) > 1e-30, d1, 1e-30)
@@ -320,18 +325,17 @@ def _mega_kernel(
                     tnear = jnp.maximum(jnp.maximum(n0, n1), n2)
                     tfar = jnp.minimum(jnp.minimum(f0, f1), f2)
                     tcap = jnp.where(tfar >= jnp.maximum(tnear, 0.0), tfar, -BIG)
-                    set_srow(_DX, s, dx)
-                    set_srow(_DY, s, dy)
-                    set_srow(_DZ, s, dz)
-                    set_srow(_TCAP, s, tcap)
-                    set_srow(_BT, s, jnp.full((1, P), BIG, f32))
+                    state[pl.ds(_DX, 1), :] = dx
+                    state[pl.ds(_DY, 1), :] = dy
+                    state[pl.ds(_DZ, 1), :] = dz
+                    state[pl.ds(_TCAP, 1), :] = tcap
+                    state[pl.ds(_BT, 1), :] = jnp.full((1, SP), BIG, f32)
                     if n_peel > 1 and peel == 0:
-                        set_srow(_CUMT, s, jnp.zeros((1, P), f32))
-                    return 0
+                        state[pl.ds(_CUMT, 1), :] = jnp.zeros((1, SP), f32)
 
                 if debug_phases >= 2:
                     recs[:, :] = jnp.zeros((16 if other else 8, SP), f32)
-                    jax.lax.fori_loop(0, S, raygen, 0)
+                    raygen_full()
                     # the chunk zmin early-exit compares CAMERA depth: rays
                     # advanced by earlier peels carry their accumulated
                     # camera-depth so the bound stays conservative
@@ -502,35 +506,34 @@ def _mega_kernel(
                         recs[:, :] = jnp.where(better, rec_sel, recs[:, :])
                         state[pl.ds(_BT, 1), :] = jnp.where(better, tmin, bt)
 
-                # ---- shading prep: surface attributes per sample ---------------
-                def shade_prep(s, _):
-                    dx = srow(_DX, s)
-                    dy = srow(_DY, s)
-                    dz = srow(_DZ, s)
-                    bt = srow(_BT, s)
+                # ---- shading prep: surface attributes, full width --------------
+                def shade_prep_full():
+                    dx = state[pl.ds(_DX, 1), :]
+                    dy = state[pl.ds(_DY, 1), :]
+                    dz = state[pl.ds(_DZ, 1), :]
+                    bt = state[pl.ds(_BT, 1), :]
                     if perspective and n_peel == 1:
                         rox, roy, roz = ox, oy, oz
                     else:
-                        rox = srow(_OX, s)
-                        roy = srow(_OY, s)
-                        roz = srow(_OZ, s)
-                    sl = pl.ds(pl.multiple_of(s * P, P), P)
-                    rwin = recs[pl.ds(3, 1), sl]
+                        rox = state[pl.ds(_OX, 1), :]
+                        roy = state[pl.ds(_OY, 1), :]
+                        roz = state[pl.ds(_OZ, 1), :]
+                    rwin = recs[pl.ds(3, 1), :]
                     missed = (bt >= BIG_DEPTH) | (rwin <= 0.0)
                     tsafe = jnp.where(missed, 0.0, bt)
                     hx = rox + tsafe * dx
                     hy = roy + tsafe * dy
                     hz = roz + tsafe * dz
-                    nx = hx - recs[pl.ds(0, 1), sl]
-                    ny = hy - recs[pl.ds(1, 1), sl]
-                    nz2 = hz - recs[pl.ds(2, 1), sl]
+                    nx = hx - recs[pl.ds(0, 1), :]
+                    ny = hy - recs[pl.ds(1, 1), :]
+                    nz2 = hz - recs[pl.ds(2, 1), :]
                     if other:
                         # type-selected normal: sphere = radial; cylinder =
                         # radial minus axis component; ring = plane normal
-                        typ = recs[pl.ds(11, 1), sl]
-                        axx = recs[pl.ds(8, 1), sl]
-                        axy = recs[pl.ds(9, 1), sl]
-                        axz = recs[pl.ds(10, 1), sl]
+                        typ = recs[pl.ds(11, 1), :]
+                        axx = recs[pl.ds(8, 1), :]
+                        axy = recs[pl.ds(9, 1), :]
+                        axz = recs[pl.ds(10, 1), :]
                         sax = nx * axx + ny * axy + nz2 * axz
                         iscyl = typ == 1.0
                         nx = jnp.where(iscyl, nx - sax * axx, nx)
@@ -547,24 +550,28 @@ def _mega_kernel(
                     facing = nx * dx + ny * dy + nz2 * dz
                     flip = jnp.where(facing > 0.0, -1.0, 1.0)
                     nx, ny, nz2 = nx * flip, ny * flip, nz2 * flip
-                    set_srow(_CR, s, recs[pl.ds(4, 1), sl])
-                    set_srow(_CG, s, recs[pl.ds(5, 1), sl])
-                    set_srow(_CB, s, recs[pl.ds(6, 1), sl])
+                    cr = recs[pl.ds(4, 1), :]
+                    cg = recs[pl.ds(5, 1), :]
+                    cb = recs[pl.ds(6, 1), :]
                     if n_peel > 1:
-                        set_srow(_ALPHA, s, recs[pl.ds(7, 1), sl])
-                    set_srow(_MISS, s, jnp.where(missed, f32(1.0), f32(0.0)))
+                        state[pl.ds(_ALPHA, 1), :] = recs[pl.ds(7, 1), :]
+                    state[pl.ds(_CR, 1), :] = cr
+                    state[pl.ds(_CG, 1), :] = cg
+                    state[pl.ds(_CB, 1), :] = cb
+                    state[pl.ds(_MISS, 1), :] = jnp.where(
+                        missed, f32(1.0), f32(0.0)
+                    )
                     # rows 0-7 (dirs / ortho origins) retire into normal + hit
                     # point — every read above already happened
-                    set_srow(_NX, s, nx)
-                    set_srow(_NY, s, ny)
-                    set_srow(_NZ, s, nz2)
-                    set_srow(_HX, s, hx)
-                    set_srow(_HY, s, hy)
-                    set_srow(_HZ, s, hz)
-                    return 0
+                    state[pl.ds(_NX, 1), :] = nx
+                    state[pl.ds(_NY, 1), :] = ny
+                    state[pl.ds(_NZ, 1), :] = nz2
+                    state[pl.ds(_HX, 1), :] = hx
+                    state[pl.ds(_HY, 1), :] = hy
+                    state[pl.ds(_HZ, 1), :] = hz
 
                 if debug_phases >= 4:
-                    jax.lax.fori_loop(0, S, shade_prep, 0)
+                    shade_prep_full()
                     state[pl.ds(_SH, 1), :] = jnp.zeros((1, SP), f32)
 
                 # ---- cross-light prefetch: compute every light's first
@@ -1044,23 +1051,23 @@ def _mega_kernel(
 
 
                 if n_peel > 1:
-                    def accum_peel(s, _):
-                        missed = srow(_MISS, s) > 0.5
-                        tsafe = jnp.where(missed, f32(0.0), srow(_BT, s))
-                        set_srow(_CUMT, s, srow(_CUMT, s) + tsafe + eps)
-                        shade = 0.8 * srow(_SH, s) + ambient
-                        cr = jnp.where(missed, bgr, srow(_CR, s) * shade)
-                        cg = jnp.where(missed, bgg, srow(_CG, s) * shade)
-                        cb = jnp.where(missed, bgb, srow(_CB, s) * shade)
-                        a = jnp.where(missed, f32(1.0), srow(_ALPHA, s))
-                        w = srow(_WT, s)
-                        set_srow(_AR, s, srow(_AR, s) + w * a * cr)
-                        set_srow(_AG, s, srow(_AG, s) + w * a * cg)
-                        set_srow(_AB, s, srow(_AB, s) + w * a * cb)
-                        set_srow(_WT, s, w * (1.0 - a))
-                        return 0
-
-                    jax.lax.fori_loop(0, S, accum_peel, 0)
+                    missed = state[pl.ds(_MISS, 1), :] > 0.5
+                    tsafe = jnp.where(
+                        missed, f32(0.0), state[pl.ds(_BT, 1), :]
+                    )
+                    state[pl.ds(_CUMT, 1), :] = (
+                        state[pl.ds(_CUMT, 1), :] + tsafe + eps
+                    )
+                    shade = 0.8 * state[pl.ds(_SH, 1), :] + ambient
+                    cr = jnp.where(missed, bgr, state[pl.ds(_CR, 1), :] * shade)
+                    cg = jnp.where(missed, bgg, state[pl.ds(_CG, 1), :] * shade)
+                    cb = jnp.where(missed, bgb, state[pl.ds(_CB, 1), :] * shade)
+                    a = jnp.where(missed, f32(1.0), state[pl.ds(_ALPHA, 1), :])
+                    w = state[pl.ds(_WT, 1), :]
+                    state[pl.ds(_AR, 1), :] = state[pl.ds(_AR, 1), :] + w * a * cr
+                    state[pl.ds(_AG, 1), :] = state[pl.ds(_AG, 1), :] + w * a * cg
+                    state[pl.ds(_AB, 1), :] = state[pl.ds(_AB, 1), :] + w * a * cb
+                    state[pl.ds(_WT, 1), :] = w * (1.0 - a)
 
             if n_peel > 1:
                 state[pl.ds(_WT, 1), :] = jnp.ones((1, SP), f32)
@@ -1091,8 +1098,13 @@ def _mega_kernel(
                 cb = jnp.where(missed, bgb, cb)
                 return ar + cr, ag + cg, ab + cb
 
+            # static python loop: s is a compile-time constant, so the P-wide
+            # lane slices are static (a fori_loop would make them dynamic
+            # lane-offset reads, which Mosaic lowers to costly shifts)
             z = jnp.zeros((1, P), f32)
-            ar, ag, ab = jax.lax.fori_loop(0, S, accum, (z, z, z))
+            ar, ag, ab = z, z, z
+            for s in range(S):
+                ar, ag, ab = accum(s, (ar, ag, ab))
             inv_s = 1.0 / S
             out_ref[pl.ds(k, 1), pl.ds(0, P)] = ar * inv_s
             out_ref[pl.ds(k, 1), pl.ds(P, P)] = ag * inv_s

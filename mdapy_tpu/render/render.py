@@ -338,16 +338,11 @@ class TachyonRender:
                 if getattr(self, "_accel_key", None) == cache_key:
                     bins, lb, self._chunk_data_cached = self._accel_cache
                 else:
-                    # 32px tiles quarter the per-tile fixed costs (DMA
-                    # waits, loop control) that dominate the megakernel's
-                    # trace and shadow phases; scenes that will miss the
-                    # megakernel (bond-heavy, no direct light) keep the
-                    # band pipeline's measured 16px optimum
-                    _sph_only = bond_edges is None and box_edges is None
-                    _tpx = int(os.environ.get(
-                        "MDAPY_TPU_TILE_PX",
-                        "32" if (self.use_pallas and _sph_only
-                                 and cfg.direct_light_enabled) else "16"))
+                    # measured: 32px tiles do NOT beat 16px (the trace is
+                    # bound by per-chunk costs, which track total candidate
+                    # volume, not tile count) — 16 stays the default; the
+                    # knob remains for tuning sweeps
+                    _tpx = int(os.environ.get("MDAPY_TPU_TILE_PX", "16"))
                     bins = build_screen_bins(
                         scene, frame, int(width), int(height), tile_px=_tpx)
                     # grid=32: measured sweet spot for the megakernel's
@@ -427,20 +422,41 @@ class TachyonRender:
                     _nbq, _nchq, _chq = bins.sph_chunks.shape
                     _budget = int(float(os.environ.get(
                         "MDAPY_TPU_CHUNK_BUDGET_GB", "2")) * (1 << 30))
+                    _rec_bytes = _nbq * _nchq * _chq * 32
                     big_scene = (
                         self._backend != "cpu"
                         and sphere_only
-                        and _nbq * _nchq * _chq * 32 > _budget
+                        and _rec_bytes > _budget
                     )
+                    # records past the working budget but within HBM are
+                    # assembled once band-by-band (bounded peak) and cached
+                    # across frames — steady-state 10M-atom frames then run
+                    # the one-shot kernel with zero per-frame gathers
+                    _cache_budget = int(float(os.environ.get(
+                        "MDAPY_TPU_RECORD_CACHE_GB", "9")) * (1 << 30))
+                    _banded_gather = big_scene and _rec_bytes <= _cache_budget
+                    if _banded_gather:
+                        big_scene = False
                     cached = self._chunk_data_cached
                     if cached is not None and cached[0] == "mega":
                         (_, chunk_data, light_records, params,
                          other_rec) = cached
                     else:
-                        chunk_data = None if big_scene else gather_chunk_data(
-                            bins.sph_chunks, scene.sph_center,
-                            scene.sph_radius, scene.sph_color,
-                        )
+                        from .pallas_kernels import gather_chunk_data_banded
+
+                        if big_scene:
+                            chunk_data = None
+                        elif _banded_gather:
+                            chunk_data = gather_chunk_data_banded(
+                                bins.sph_chunks, scene.sph_center,
+                                scene.sph_radius, scene.sph_color,
+                                band_bytes=_budget // 2,
+                            )
+                        else:
+                            chunk_data = gather_chunk_data(
+                                bins.sph_chunks, scene.sph_center,
+                                scene.sph_radius, scene.sph_color,
+                            )
                         light_records = (
                             build_light_records(lb, scene)
                             if cfg.shadows_enabled else (None, None, None)

@@ -182,3 +182,24 @@ def test_mega_tile32_exact(shadows):
     d = np.abs(img - ref)
     assert int((d.max(axis=2) > 1e-3).sum()) <= 2
     assert d.mean() < 1e-4
+
+
+def test_gather_chunk_data_banded_matches():
+    """Band-assembled records must equal the one-shot gather exactly."""
+    from mdapy_tpu.render.pallas_kernels import (
+        gather_chunk_data, gather_chunk_data_banded,
+    )
+    rng = np.random.default_rng(0)
+    n = 50
+    centers = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    radii = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+    colors = jnp.asarray(rng.uniform(size=(n, 4)), jnp.float32)
+    chunks = jnp.asarray(
+        rng.integers(-1, n, size=(7, 3, 128)), jnp.int32
+    )
+    a = np.asarray(gather_chunk_data(chunks, centers, radii, colors))
+    # tiny band budget forces many bands incl. a remainder band
+    b = np.asarray(gather_chunk_data_banded(
+        chunks, centers, radii, colors, band_bytes=3 * 3 * 8 * 128 * 4,
+    ))
+    assert np.array_equal(a, b)
