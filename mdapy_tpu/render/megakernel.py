@@ -122,6 +122,14 @@ _ALPHA = 3                        # hit alpha (after shade prep; peel mode)
 _WT, _AR, _AG, _AB = 16, 17, 18, 19   # transparency weight + accumulators
 _CUMT = 15                        # camera-depth accumulated over peels
 
+# group-state rows (merged shadow mode): per-GROUP retained surface
+# attributes, lane-sliced per tile at k*S*P (full width) / k*P (sample 0)
+_GNX, _GNY, _GNZ = 0, 1, 2
+_GHX, _GHY, _GHZ = 3, 4, 5
+_GMISS = 6
+_GCR, _GCG, _GCB = 7, 8, 9
+_GSH = 10
+
 
 def _mega_kernel(
     params_ref,   # (64,) f32 SMEM — packed per-frame scalars
@@ -144,6 +152,9 @@ def _mega_kernel(
     sbuf,         # (2, 8, SHW) VMEM scratch — shadow window double buffer
     psbuf,        # (L, PREF_C, 8, SHW) VMEM scratch — prefetched windows
     lrows,        # (L*8, S*P) VMEM scratch — per-light ray rows (see below)
+    gstate,       # (12, G*S*P) VMEM scratch — group surface rows (merged mode)
+    gs0,          # (8, G*P) VMEM scratch — sample-0 surface rows (shared AO)
+    gblk,         # (L, G*P) VMEM scratch — per-AO-light blocked rows
     needed,       # (32,) SMEM f32 scratch — per-sample early-exit bounds
     lmeta,        # (L*8,) SMEM f32 scratch — per-light prefetch metadata
     rsem,         # (NBUF,) DMA semaphores (tile rows)
@@ -170,11 +181,21 @@ def _mega_kernel(
     ao_shared: bool = False,
     n_peel: int = 1,
     tile_px: int = TILE_PX,
+    merged_sweep: bool = False,
 ):
     G = TILE_GROUP
     TILE_PX = tile_px         # shadow the module defaults: the kernel is
     P = tile_px * tile_px     # parametric over the screen-tile edge now
     SP = S * P
+    GSP = G * SP
+    GP = G * P
+    # merged shadow mode (opaque scenes): the per-light CSR sweeps run ONCE
+    # per 8-tile GROUP over the union of the tiles' light-cell rects, at 8x
+    # lane width.  Measured SLOWER on the 1M bench (the row-major 8-tile
+    # strip spans a wide light-space rect, so every union cell's windows
+    # pay the full 8x-wide compute for rays that mostly aren't in that
+    # cell) — kept behind a flag for square-group experiments.
+    merged = n_peel == 1 and merged_sweep
     group = pl.program_id(0)
     f32 = jnp.float32
 
@@ -254,11 +275,20 @@ def _mega_kernel(
         def _():
             rowdma(slot, tile).wait()
 
-        @pl.when(jnp.logical_not(tile_live) & (tile < nb))
-        def bg_tile():
-            out_ref[pl.ds(k, 1), pl.ds(0, P)] = jnp.full((1, P), bgr, f32)
-            out_ref[pl.ds(k, 1), pl.ds(P, P)] = jnp.full((1, P), bgg, f32)
-            out_ref[pl.ds(k, 1), pl.ds(2 * P, P)] = jnp.full((1, P), bgb, f32)
+        if not merged:
+            @pl.when(jnp.logical_not(tile_live) & (tile < nb))
+            def bg_tile():
+                out_ref[pl.ds(k, 1), pl.ds(0, P)] = jnp.full((1, P), bgr, f32)
+                out_ref[pl.ds(k, 1), pl.ds(P, P)] = jnp.full((1, P), bgg, f32)
+                out_ref[pl.ds(k, 1), pl.ds(2 * P, P)] = jnp.full((1, P), bgb, f32)
+        else:
+            # dead tiles must not join the group light rects
+            @pl.when(jnp.logical_not(tile_live))
+            def dead_tile():
+                gstate[pl.ds(_GMISS, 1), pl.ds(k * SP, SP)] = jnp.ones(
+                    (1, SP), f32
+                )
+                gs0[pl.ds(6, 1), pl.ds(k * P, P)] = jnp.ones((1, P), f32)
 
         @pl.when(tile_live)
         def live_tile():
@@ -580,7 +610,9 @@ def _mega_kernel(
                 # per light (the sweep is DMA-latency-bound at 1 TensorCore).
                 # Single-light launches skip it — the staging overhead only
                 # pays for itself across multiple lights.
-                prefetch_on = shadows and debug_phases >= 5 and L > 1
+                prefetch_on = (
+                    shadows and debug_phases >= 5 and L > 1 and not merged
+                )
                 if prefetch_on:
                     for _l in range(L):
                         lb16 = _l * 16
@@ -681,7 +713,9 @@ def _mega_kernel(
                 # AO sky directions are just additional lights with ambient 0 —
                 # the expensive closest-hit traversal above runs ONCE for all of
                 # them (vs one full megakernel launch per direction before).
-                for _l in range(L if debug_phases >= 4 else 0):
+                for _l in range(
+                    L if (debug_phases >= 4 and not merged) else 0
+                ):
                     lb16 = _l * 16
                     lx = lparams_ref[lb16 + 0]
                     ly = lparams_ref[lb16 + 1]
@@ -1079,6 +1113,26 @@ def _mega_kernel(
                 def _(p=_pl2):
                     run_peel(p)
 
+            if merged and debug_phases < 4:
+                return
+            if merged:
+                # retire this tile's surface rows into the group buffers the
+                # merged light sweeps (and final shade pass) consume
+                slg = pl.ds(pl.multiple_of(k * SP, P), SP)
+                for src, dst in (
+                    (_NX, _GNX), (_NY, _GNY), (_NZ, _GNZ),
+                    (_HX, _GHX), (_HY, _GHY), (_HZ, _GHZ),
+                    (_MISS, _GMISS), (_CR, _GCR), (_CG, _GCG), (_CB, _GCB),
+                ):
+                    gstate[pl.ds(dst, 1), slg] = state[pl.ds(src, 1), :]
+                slp = pl.ds(pl.multiple_of(k * P, P), P)
+                for src, dst in (
+                    (_NX, 0), (_NY, 1), (_NZ, 2),
+                    (_HX, 3), (_HY, 4), (_HZ, 5), (_MISS, 6),
+                ):
+                    gs0[pl.ds(dst, 1), slp] = state[pl.ds(src, 1), pl.ds(0, P)]
+                return
+
             # ---- final shade + AA mean --------------------------------------
             def accum(s, acc):
                 ar, ag, ab = acc
@@ -1114,6 +1168,425 @@ def _mega_kernel(
 
     jax.lax.fori_loop(0, G, per_tile, 0)
 
+    if not merged:
+        return
+
+    # ================= merged mode: group-level light sweeps =============
+    if debug_phases >= 4:
+        gstate[pl.ds(_GSH, 1), :] = jnp.zeros((1, GSP), f32)
+
+    def light_scalars(_l):
+        lb16 = _l * 16
+        return (
+            lparams_ref[lb16 + 0], lparams_ref[lb16 + 1],
+            lparams_ref[lb16 + 2], lparams_ref[lb16 + 3],
+            lparams_ref[lb16 + 4], lparams_ref[lb16 + 5],
+            lparams_ref[lb16 + 6], lparams_ref[lb16 + 7],
+            lparams_ref[lb16 + 8], lparams_ref[lb16 + 9],
+            lparams_ref[lb16 + 10], lparams_ref[lb16 + 11],
+            lparams_ref[lb16 + 12],
+        )
+
+    def light_rows(_l, shared):
+        """Light-space ray rows over the whole group (width GP for shared-AO
+        lights evaluated on sample 0, GSP otherwise).  Recomputed bitwise-
+        identically by the prefetch and sweep passes — DMA start/wait
+        predicates derived from them always pair."""
+        (lx, ly, lz, e1x, e1y, e1z, e2x, e2y, e2z,
+         lorgu, lorgv, inv_cell, lightcol) = light_scalars(_l)
+        if shared:
+            nx = gs0[pl.ds(0, 1), :]
+            ny = gs0[pl.ds(1, 1), :]
+            nz = gs0[pl.ds(2, 1), :]
+            hx = gs0[pl.ds(3, 1), :]
+            hy = gs0[pl.ds(4, 1), :]
+            hz = gs0[pl.ds(5, 1), :]
+            miss = gs0[pl.ds(6, 1), :]
+        else:
+            nx = gstate[pl.ds(_GNX, 1), :]
+            ny = gstate[pl.ds(_GNY, 1), :]
+            nz = gstate[pl.ds(_GNZ, 1), :]
+            hx = gstate[pl.ds(_GHX, 1), :]
+            hy = gstate[pl.ds(_GHY, 1), :]
+            hz = gstate[pl.ds(_GHZ, 1), :]
+            miss = gstate[pl.ds(_GMISS, 1), :]
+        inten = nx * lx + ny * ly + nz * lz
+        lit = jnp.where(
+            (inten > MINCONTRIB) & (miss < 0.5), f32(1.0), f32(0.0)
+        )
+        u = hx * e1x + hy * e1y + hz * e1z - lorgu
+        v = hx * e2x + hy * e2y + hz * e2z - lorgv
+        tau = hx * lx + hy * ly + hz * lz
+        gx = jnp.clip(jnp.floor(u * inv_cell), 0, grid_n - 1)
+        gy = jnp.clip(jnp.floor(v * inv_cell), 0, grid_n - 1)
+        return inten, lit, u, v, tau, gx, gy, (hx, hy, hz), lightcol, (lx, ly, lz)
+
+    def rect_of(lit, gx, gy):
+        litb = lit > 0.5
+        mngx = jnp.min(jnp.where(litb, gx, f32(grid_n)))
+        mxgx = jnp.max(jnp.where(litb, gx, -1.0))
+        mngy = jnp.min(jnp.where(litb, gy, f32(grid_n)))
+        mxgy = jnp.max(jnp.where(litb, gy, -1.0))
+        cx0 = mngx.astype(jnp.int32)
+        cy0 = mngy.astype(jnp.int32)
+        nxc = jnp.maximum(mxgx.astype(jnp.int32) - cx0 + 1, 0)
+        nyc = jnp.maximum(mxgy.astype(jnp.int32) - cy0 + 1, 0)
+        ncell = jnp.where(mxgx >= 0.0, nxc * nyc, 0)
+        return cx0, cy0, nxc, nyc, ncell, mxgx
+
+    sweeps_on = shadows and debug_phases >= 5
+    gprefetch = sweeps_on and L > 1
+    if gprefetch:
+        # cross-light window-0 prefetch: every light's first PREF_C cells'
+        # first windows stream concurrently instead of one stall per light
+        for _l in range(L):
+            shared = ao_shared and _l > 0
+            _, lit, _, _, _, gx, gy, _, _, _ = light_rows(_l, shared)
+            cx0, cy0, nxc, nyc, ncell, _ = rect_of(lit, gx, gy)
+            lmeta[_l * 8 + 0] = cx0.astype(f32)
+            lmeta[_l * 8 + 1] = cy0.astype(f32)
+            lmeta[_l * 8 + 2] = nxc.astype(f32)
+            lmeta[_l * 8 + 3] = nyc.astype(f32)
+            lmeta[_l * 8 + 4] = ncell.astype(f32)
+            for _pc in range(PREF_C):
+                pdxc = jax.lax.rem(jnp.int32(_pc), jnp.maximum(nxc, 1))
+                pdyc = jnp.int32(_pc) // jnp.maximum(nxc, 1)
+                pcell = jnp.clip(
+                    (cy0 + pdyc) * grid_n + (cx0 + pdxc),
+                    0, grid_n * grid_n - 1,
+                )
+                poff = loffs_ref[_l * ncells_l + pcell]
+                pcnt = lcnt_ref[_l * ncells_l + pcell]
+
+                @pl.when((jnp.int32(_pc) < ncell) & (pcnt > 0))
+                def _(l_=_l, pc_=_pc, off_=poff):
+                    pltpu.make_async_copy(
+                        ldata_hbm.at[
+                            l_, :, pl.ds(pl.multiple_of(off_, SHW), SHW)
+                        ],
+                        psbuf.at[l_, pc_],
+                        psem.at[l_, pc_],
+                    ).start()
+
+    for _l in range(L if debug_phases >= 4 else 0):
+        shared = ao_shared and _l > 0
+        C = GP if shared else GSP
+        (inten, lit_all, u_all, v_all, tau_all, gx_all, gy_all,
+         (hx_s, hy_s, hz_s), lightcol, (lx, ly, lz)) = light_rows(_l, shared)
+        litb = lit_all > 0.5
+        if sweeps_on:
+            tau_eps = tau_all + eps
+            blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.zeros((1, C), f32)
+            if gprefetch:
+                cx0 = lmeta[_l * 8 + 0].astype(jnp.int32)
+                cy0 = lmeta[_l * 8 + 1].astype(jnp.int32)
+                nxc = lmeta[_l * 8 + 2].astype(jnp.int32)
+                nyc = lmeta[_l * 8 + 3].astype(jnp.int32)
+                ncell = lmeta[_l * 8 + 4].astype(jnp.int32)
+                mxgx = (ncell > 0).astype(f32) - 0.5  # sign carries the gate
+            else:
+                cx0, cy0, nxc, nyc, ncell, mxgx = rect_of(
+                    lit_all, gx_all, gy_all
+                )
+
+            def sdma(slot2, off2, _l=_l):
+                return pltpu.make_async_copy(
+                    ldata_hbm.at[_l, :, pl.ds(pl.multiple_of(off2, SHW), SHW)],
+                    sbuf.at[slot2],
+                    ssem.at[slot2],
+                )
+
+            def occl_update(srec, incell, u_all=u_all, v_all=v_all,
+                            tau_eps=tau_eps, C=C):
+                """Fold one (8, SHW) record window into blocked; returns
+                the window's far-depth key tail."""
+                srecT = jnp.swapaxes(srec, 0, 1)   # (SHW, 8)
+                cu = srecT[:, 0:1]
+                cv = srecT[:, 1:2]
+                ck = srecT[:, 2:3]
+                sr = srecT[:, 3:4]
+                srlive = sr > 0.0
+                du = cu - u_all                    # (SHW, C)
+                dv = cv - v_all
+                s2 = sr * sr - (du * du + dv * dv)
+                q = tau_eps - ck
+                occ = (
+                    (s2 > 0.0) & srlive
+                    & ((q < 0.0) | (s2 > q * q))
+                )
+                occf = jnp.max(
+                    jnp.where(occ, f32(1.0), f32(0.0)),
+                    axis=0, keepdims=True,
+                )
+                selg = jnp.where(incell, f32(1.0), f32(0.0))
+                blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.maximum(
+                    blocked[pl.ds(0, 1), pl.ds(0, C)], selg * occf
+                )
+                return srec[4, SHW - 1]
+
+            def floor_for(incell, tau_all=tau_all, C=C):
+                selm = incell & (blocked[pl.ds(0, 1), pl.ds(0, C)] < 0.5)
+                return jnp.min(jnp.where(selm, tau_all, BIG))
+
+            def sweep_cell(ci, prefetched, _l=_l, cx0=cx0, cy0=cy0,
+                           nxc=nxc, nyc=nyc, ncell=ncell,
+                           gx_all=gx_all, gy_all=gy_all, litb=litb):
+                dxc = jax.lax.rem(ci, jnp.maximum(nxc, 1))
+                dyc = ci // jnp.maximum(nxc, 1)
+                cgx = (cx0 + dxc).astype(f32)
+                cgy = (cy0 + dyc).astype(f32)
+                cell = jnp.clip(
+                    (cy0 + dyc) * grid_n + (cx0 + dxc),
+                    0, grid_n * grid_n - 1,
+                )
+                off0 = loffs_ref[_l * ncells_l + cell]
+                cnt = lcnt_ref[_l * ncells_l + cell]
+                nw = (cnt + (SHW - 1)) // SHW
+                incell = (gx_all == cgx) & (gy_all == cgy) & litb
+
+                mintau0 = floor_for(incell)
+
+                def wcond(wc):
+                    w, kmax, mintau = wc
+                    return (w < nw) & (kmax > mintau + eps)
+
+                def wbody(wc):
+                    w, kmax, mintau = wc
+                    slot2 = jax.lax.rem(w, jnp.int32(2))
+                    nxt2 = jax.lax.rem(w + jnp.int32(1), jnp.int32(2))
+
+                    @pl.when(w + 1 < nw)
+                    def _():
+                        sdma(nxt2, off0 + (w + 1) * SHW).start()
+
+                    sdma(slot2, off0 + w * SHW).wait()
+                    nxt_kmax = occl_update(sbuf[slot2], incell)
+                    return w + 1, nxt_kmax, floor_for(incell)
+
+                def drain(wf):
+                    @pl.when(wf < nw)
+                    def _():
+                        sdma(jax.lax.rem(wf, jnp.int32(2)),
+                             off0 + wf * SHW).wait()
+
+                if prefetched is not None:
+                    @pl.when((ci < ncell) & (cnt > 0))
+                    def _(pc_=prefetched):
+                        @pl.when(nw > 1)
+                        def _():
+                            sdma(1, off0 + SHW).start()
+
+                        pltpu.make_async_copy(
+                            ldata_hbm.at[
+                                _l, :,
+                                pl.ds(pl.multiple_of(off0, SHW), SHW),
+                            ],
+                            psbuf.at[_l, pc_],
+                            psem.at[_l, pc_],
+                        ).wait()
+                        kmax0 = occl_update(psbuf[_l, pc_], incell)
+                        wf, _, _ = jax.lax.while_loop(
+                            wcond, wbody,
+                            (jnp.int32(1), kmax0, floor_for(incell)),
+                        )
+                        drain(wf)
+                else:
+                    @pl.when((cnt > 0) & (mintau0 < BIG_DEPTH))
+                    def _():
+                        sdma(0, off0).start()
+                        wf, _, _ = jax.lax.while_loop(
+                            wcond, wbody,
+                            (jnp.int32(0), f32(BIG), mintau0),
+                        )
+                        drain(wf)
+
+                return 0
+
+            if gprefetch:
+                for _pc in range(PREF_C):
+                    sweep_cell(jnp.int32(_pc), _pc)
+                jax.lax.fori_loop(
+                    PREF_C, jnp.maximum(ncell, PREF_C),
+                    lambda ci, _: sweep_cell(ci, None), 0,
+                )
+            else:
+                jax.lax.fori_loop(
+                    0, ncell, lambda ci, _: sweep_cell(ci, None), 0,
+                )
+
+            # ---- dense cyl/ring occluders (global list, group-culled) ---
+            if other and n_occ > 0:
+                occT = jnp.swapaxes(occ_ref[_l], 0, 1)   # (KG, 16)
+                umin_t = jnp.min(jnp.where(litb, u_all, BIG))
+                umax_t = jnp.max(jnp.where(litb, u_all, -BIG))
+                vmin_t = jnp.min(jnp.where(litb, v_all, BIG))
+                vmax_t = jnp.max(jnp.where(litb, v_all, -BIG))
+                taumin_t = jnp.min(jnp.where(litb, tau_all, BIG))
+                gu0 = occT[:, 4:5]
+                gv0 = occT[:, 5:6]
+                gu1 = occT[:, 13:14]
+                gv1 = occT[:, 14:15]
+                grb = occT[:, 6:7]
+                gkey = occT[:, 7:8]
+                galive = occT[:, 3:4] > 0.0
+                ucx = 0.5 * (umin_t + umax_t)
+                vcx = 0.5 * (vmin_t + vmax_t)
+                bx = gu1 - gu0
+                by = gv1 - gv0
+                wx = ucx - gu0
+                wy = vcx - gv0
+                tseg = jnp.clip(
+                    (wx * bx + wy * by)
+                    / jnp.maximum(bx * bx + by * by, 1e-12),
+                    0.0, 1.0,
+                )
+                dxs = wx - tseg * bx
+                dys = wy - tseg * by
+                halfdiag = 0.5 * jnp.sqrt(
+                    (umax_t - umin_t) ** 2 + (vmax_t - vmin_t) ** 2
+                )
+                lim = grb + halfdiag + eps
+                hit_tile = (
+                    galive
+                    & (dxs * dxs + dys * dys <= lim * lim)
+                    & (gkey > taumin_t + eps)
+                )
+                any_occ = jnp.max(jnp.where(hit_tile, 1.0, 0.0))
+
+                @pl.when((any_occ > 0.0) & (mxgx >= 0.0))
+                def dense_occluders(hit_tile=hit_tile):
+                    px = occT[:, 0:1]
+                    py = occT[:, 1:2]
+                    pz = occT[:, 2:3]
+                    rad = occT[:, 3:4]
+                    axx = occT[:, 8:9]
+                    axy = occT[:, 9:10]
+                    axz = occT[:, 10:11]
+                    typ = occT[:, 11:12]
+                    alen = occT[:, 12:13]
+                    ocx = hx_s - px                      # (KG, C)
+                    ocy = hy_s - py
+                    ocz = hz_s - pz
+                    oca = ocx * axx + ocy * axy + ocz * axz
+                    dda = axx * lx + axy * ly + axz * lz  # (KG, 1)
+                    dpx = lx - dda * axx
+                    dpy = ly - dda * axy
+                    dpz = lz - dda * axz
+                    opx = ocx - oca * axx                 # (KG, C)
+                    opy = ocy - oca * axy
+                    opz = ocz - oca * axz
+                    a2 = dpx * dpx + dpy * dpy + dpz * dpz
+                    bq = opx * dpx + opy * dpy + opz * dpz
+                    cq = opx * opx + opy * opy + opz * opz - rad * rad
+                    disc = bq * bq - a2 * cq
+                    live_c = (
+                        hit_tile & (typ == 1.0) & (disc >= 0.0)
+                        & (a2 > 1e-12)
+                    )
+                    inv_a2 = 1.0 / jnp.where(a2 > 1e-12, a2, 1.0)
+                    sq = jnp.sqrt(jnp.where(live_c, disc, 0.0))
+                    t1 = (-bq - sq) * inv_a2
+                    t2 = (-bq + sq) * inv_a2
+                    s1 = oca + t1 * dda
+                    s2 = oca + t2 * dda
+                    occ_c = live_c & (
+                        ((t1 > eps) & (s1 >= 0.0) & (s1 <= alen))
+                        | ((t2 > eps) & (s2 >= 0.0) & (s2 <= alen))
+                    )
+                    dn = dda
+                    tr0 = -oca / jnp.where(jnp.abs(dn) > 1e-12, dn, 1.0)
+                    rx = ocx + tr0 * lx
+                    ry = ocy + tr0 * ly
+                    rz = ocz + tr0 * lz
+                    rho2 = rx * rx + ry * ry + rz * rz
+                    occ_r = (
+                        hit_tile & (typ == 2.0) & (jnp.abs(dn) > 1e-12)
+                        & (tr0 > eps) & (rho2 <= rad * rad)
+                    )
+                    occf = jnp.max(
+                        jnp.where(occ_c | occ_r, f32(1.0), f32(0.0)),
+                        axis=0, keepdims=True,
+                    )
+                    blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.maximum(
+                        blocked[pl.ds(0, 1), pl.ds(0, C)],
+                        lit_all[:, :C] * occf,
+                    )
+
+        # ---- diffuse accumulation -------------------------------------
+        if shared:
+            # visibility stored per light; expanded to all AA samples in
+            # the final per-tile pass
+            if sweeps_on:
+                gblk[pl.ds(_l, 1), :] = blocked[pl.ds(0, 1), pl.ds(0, GP)]
+            else:
+                gblk[pl.ds(_l, 1), :] = jnp.zeros((1, GP), f32)
+        else:
+            if sweeps_on:
+                filt = 1.0 - blocked[pl.ds(0, 1), pl.ds(0, GSP)]
+            else:
+                filt = f32(1.0)
+            gstate[pl.ds(_GSH, 1), :] = (
+                gstate[pl.ds(_GSH, 1), :] + lit_all * inten * lightcol * filt
+            )
+
+    # ================= merged mode: final shade + AA mean ================
+    def final_tile(k, _):
+        tile = group * G + k
+        tile_live = live(tile)
+
+        @pl.when(jnp.logical_not(tile_live) & (tile < nb))
+        def bg_tile():
+            out_ref[pl.ds(k, 1), pl.ds(0, P)] = jnp.full((1, P), bgr, f32)
+            out_ref[pl.ds(k, 1), pl.ds(P, P)] = jnp.full((1, P), bgg, f32)
+            out_ref[pl.ds(k, 1), pl.ds(2 * P, P)] = jnp.full((1, P), bgb, f32)
+
+        @pl.when(tile_live)
+        def fin():
+            sl = pl.ds(pl.multiple_of(k * SP, P), SP)
+            sh = gstate[pl.ds(_GSH, 1), sl]
+            if ao_shared and L > 1 and debug_phases >= 4:
+                nx = gstate[pl.ds(_GNX, 1), sl]
+                ny = gstate[pl.ds(_GNY, 1), sl]
+                nz = gstate[pl.ds(_GNZ, 1), sl]
+                miss = gstate[pl.ds(_GMISS, 1), sl]
+                slp = pl.ds(pl.multiple_of(k * P, P), P)
+                for _l in range(1, L):
+                    (lx, ly, lz, _, _, _, _, _, _, _, _, _,
+                     lightcol) = light_scalars(_l)
+                    inten = nx * lx + ny * ly + nz * lz
+                    lit = jnp.where(
+                        (inten > MINCONTRIB) & (miss < 0.5),
+                        f32(1.0), f32(0.0),
+                    )
+                    b0 = gblk[pl.ds(_l, 1), slp]
+                    filt = 1.0 - jnp.concatenate([b0] * S, axis=1)
+                    sh = sh + lit * inten * lightcol * filt
+            missed = gstate[pl.ds(_GMISS, 1), sl] > 0.5
+            shade = 0.8 * sh + ambient
+            crow = jnp.where(
+                missed, bgr, gstate[pl.ds(_GCR, 1), sl] * shade
+            )
+            cgrow = jnp.where(
+                missed, bgg, gstate[pl.ds(_GCG, 1), sl] * shade
+            )
+            cbrow = jnp.where(
+                missed, bgb, gstate[pl.ds(_GCB, 1), sl] * shade
+            )
+            z = jnp.zeros((1, P), f32)
+            ar, ag, ab = z, z, z
+            for s in range(S):   # static slices of in-register values
+                ar = ar + jax.lax.slice_in_dim(crow, s * P, (s + 1) * P, axis=1)
+                ag = ag + jax.lax.slice_in_dim(cgrow, s * P, (s + 1) * P, axis=1)
+                ab = ab + jax.lax.slice_in_dim(cbrow, s * P, (s + 1) * P, axis=1)
+            inv_s = 1.0 / S
+            out_ref[pl.ds(k, 1), pl.ds(0, P)] = ar * inv_s
+            out_ref[pl.ds(k, 1), pl.ds(P, P)] = ag * inv_s
+            out_ref[pl.ds(k, 1), pl.ds(2 * P, P)] = ab * inv_s
+
+        return 0
+
+    jax.lax.fori_loop(0, G, final_tile, 0)
+
 
 @functools.partial(
     jax.jit,
@@ -1121,6 +1594,7 @@ def _mega_kernel(
         "S", "width", "height", "tiles_x", "tiles_y", "grid_n",
         "eps", "perspective", "shadows", "interpret", "debug_phases",
         "quantized", "n_occ", "ao_shared", "n_peel", "tile_px",
+        "merged_sweep",
     ),
 )
 def render_image_mega(
@@ -1151,6 +1625,7 @@ def render_image_mega(
     ao_shared: bool = False,
     n_peel: int = 1,     # transparency-peeling budget (1 = opaque fast path)
     tile_px: int = TILE_PX,
+    merged_sweep: bool = False,
 ):
     """Full-frame fused render.
 
@@ -1234,6 +1709,7 @@ def render_image_mega(
         [jnp.pad(a, ((0, 0), (0, KG - a.shape[1]))) for a in occs]
     )
 
+    _msw = merged_sweep and n_peel == 1
     kernel = functools.partial(
         _mega_kernel,
         S=S, nchunks=nchunks, CH=CH, nb=nb, nbp=nbp, tiles_x=tiles_x,
@@ -1241,6 +1717,7 @@ def render_image_mega(
         other=other, n_occ=(n_occ if shadows else 0), ZC=ZC,
         L=L, ncells_l=ncells_l, debug_phases=debug_phases,
         ao_shared=ao_shared, n_peel=n_peel, tile_px=tile_px,
+        merged_sweep=merged_sweep,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -1259,10 +1736,29 @@ def render_image_mega(
             pltpu.VMEM((2, 16, KO), jnp.float32),
             pltpu.VMEM((20 if n_peel > 1 else 16, S * P), jnp.float32),
             pltpu.VMEM((16 if other else 8, S * P), jnp.float32),
-            pltpu.VMEM((1, S * P), jnp.float32),
+            # blocked spans the whole group in merged-sweep mode
+            pltpu.VMEM(
+                (1, TILE_GROUP * S * P if _msw else S * P),
+                jnp.float32,
+            ),
             pltpu.VMEM((2, 8, SHW), jnp.float32),
             pltpu.VMEM((L, PREF_C, 8, SHW), jnp.float32),
-            pltpu.VMEM((L * 8, S * P), jnp.float32),
+            # per-light ray rows only serve the per-tile path
+            pltpu.VMEM(
+                (8, 128) if _msw else (L * 8, S * P), jnp.float32
+            ),
+            # group surface rows / sample-0 rows / per-AO-light visibility
+            pltpu.VMEM(
+                (12, TILE_GROUP * S * P) if _msw else (1, 8),
+                jnp.float32,
+            ),
+            pltpu.VMEM(
+                (8, TILE_GROUP * P) if _msw else (1, 8), jnp.float32
+            ),
+            pltpu.VMEM(
+                (max(L, 1), TILE_GROUP * P) if _msw else (1, 8),
+                jnp.float32,
+            ),
             pltpu.SMEM((32,), jnp.float32),
             pltpu.SMEM((L * 8,), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),

@@ -216,45 +216,77 @@ def render_train_step_hier(
                      "view", "light_dir")}
     band_ids = jnp.arange(n - 1, -1, -1, dtype=jnp.int32)
 
-    def band_loss(params, band_id, tgt):
+    @jax.checkpoint
+    def band_chunk_loss(params, band_id, tgt, ci):
         c, r, col = params
         scene2 = dataclasses.replace(
             scene, sph_center=c, sph_radius=r, sph_color=col
         )
-        band_row0 = band_id * rows
+        row0 = band_id * rows + ci * crow
+        ll = cam["lowleft"] + row0.astype(dtype) * cam["iplaneup"]
+        img = render_image(
+            scene2, cam["origin"], ll, cam["iplaneright"],
+            cam["iplaneup"], cam["view"], cam["light_dir"],
+            cfg, width, crow, perspective,
+            seed + band_id * jnp.int32(9973), chunk=chunk,
+        )
+        # chunk rows count bottom-up in the image plane; the target
+        # array is top-down, so chunk ci maps to target slice
+        # (remat_chunks - 1 - ci)
+        tgt_c = jax.lax.dynamic_slice(
+            tgt,
+            ((remat_chunks - 1 - ci) * crow, jnp.int32(0), jnp.int32(0)),
+            (crow, width, 3),
+        )
+        return jnp.sum((img - tgt_c) ** 2)
 
-        @jax.checkpoint
-        def chunk_loss(ci):
-            row0 = band_row0 + ci * crow
-            ll = cam["lowleft"] + row0.astype(dtype) * cam["iplaneup"]
-            img = render_image(
-                scene2, cam["origin"], ll, cam["iplaneright"],
-                cam["iplaneup"], cam["view"], cam["light_dir"],
-                cfg, width, crow, perspective,
-                seed + band_id * jnp.int32(9973), chunk=chunk,
-            )
-            # chunk rows count bottom-up in the image plane; the target
-            # array is top-down, so chunk ci maps to target slice
-            # (remat_chunks - 1 - ci)
-            tgt_c = jax.lax.dynamic_slice(
-                tgt,
-                ((remat_chunks - 1 - ci) * crow, jnp.int32(0), jnp.int32(0)),
-                (crow, width, 3),
-            )
-            return jnp.sum((img - tgt_c) ** 2)
-
+    def band_loss(params, band_id, tgt):
         if remat_chunks == 1:
-            total = chunk_loss(jnp.int32(0))
+            total = band_chunk_loss(params, band_id, tgt, jnp.int32(0))
         else:
             def body(acc, ci):
-                return acc + chunk_loss(ci), None
+                return acc + band_chunk_loss(params, band_id, tgt, ci), None
             total, _ = jax.lax.scan(
                 body, jnp.float32(0.0),
                 jnp.arange(remat_chunks, dtype=jnp.int32),
             )
         return total / (rows * width * 3)
 
+    norm = rows * width * 3
+
     def shard_fn(c, r, col, band_id, tgt):
+        if remat_chunks > 1:
+            # OVERLAPPED gradient reduction: differentiate and psum each
+            # remat chunk INSIDE the scan, so every chunk's collective
+            # rides the wire while the next chunk's recompute + backward
+            # runs — instead of one all-reduce parked after the last
+            # backward block.  loss = sum of chunk losses and the params
+            # are shared, so sum-of-chunk-grads == grad-of-sum.
+            params0 = (c, r, col)
+            bid = band_id[0]
+
+            def chunk_loss_p(params, ci):
+                return band_chunk_loss(params, bid, tgt, ci)
+
+
+            def body(carry, ci):
+                lacc, gacc = carry
+                l_c, g_c = jax.value_and_grad(chunk_loss_p)(params0, ci)
+                for ax in reversed(axes):
+                    l_c = jax.lax.pmean(l_c, ax)
+                    g_c = jax.tree.map(
+                        lambda g, ax=ax: jax.lax.pmean(g, ax), g_c
+                    )
+                return (lacc + l_c,
+                        jax.tree.map(jnp.add, gacc, g_c)), None
+
+            zg = jax.tree.map(jnp.zeros_like, params0)
+            (loss, grads), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), zg),
+                jnp.arange(remat_chunks, dtype=jnp.int32),
+            )
+            inv = 1.0 / norm
+            return loss * inv, jax.tree.map(lambda g: g * inv, grads)
         loss, grads = jax.value_and_grad(band_loss)(
             (c, r, col), band_id[0], tgt
         )

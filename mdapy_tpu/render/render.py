@@ -603,6 +603,8 @@ class TachyonRender:
                             ao_shared=_ao_shared,
                             n_peel=_peel,
                             tile_px=bins.tile_px,
+                            merged_sweep=os.environ.get(
+                                "MDAPY_TPU_MERGED_SWEEP", "0") == "1",
                             **other_kw,
                         )
                     if device_output:

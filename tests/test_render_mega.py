@@ -203,3 +203,39 @@ def test_gather_chunk_data_banded_matches():
         chunks, centers, radii, colors, band_bytes=3 * 3 * 8 * 128 * 4,
     ))
     assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("shadows", [False, True])
+def test_mega_merged_sweep_exact(shadows):
+    """The experimental group-merged shadow sweep must reproduce the
+    per-tile sweep image (execution-strategy detail, not semantics)."""
+    pos, colors, radii = _fcc_scene()
+    cam = preset_camera("perspective", pos, max_radius=float(radii.max()))
+    scene = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32),
+        build_scene(pos, colors, radii, dtype=np.float32),
+    )
+    frame = camera_frame(cam, W, H)
+    cfg = RenderConfig(aa_samples=0, aa_enabled=False, ao_enabled=False,
+                       shadows_enabled=shadows)
+    bins = build_screen_bins(scene, frame, W, H)
+    lb = build_light_bins(scene, np.asarray(frame["light_dir"], np.float32),
+                          grid=48)
+    cd = gather_chunk_data(
+        bins.sph_chunks, scene.sph_center, scene.sph_radius, scene.sph_color
+    )
+    lrec = build_light_records(lb, scene) if shadows else (None, None, None)
+    lo = np.asarray(jnp.min(scene.sph_center - scene.sph_radius[:, None], 0))
+    hi = np.asarray(jnp.max(scene.sph_center + scene.sph_radius[:, None], 0))
+    params = build_mega_params(frame, lb, lo, hi, cfg)
+    kw = dict(
+        S=1, width=W, height=H, tiles_x=bins.tiles_x, tiles_y=bins.tiles_y,
+        grid_n=48, eps=cfg.eps, perspective=True, shadows=shadows,
+        interpret=True,
+    )
+    a = np.asarray(render_image_mega(
+        cd, bins.sph_zmin, lrec[0], lrec[1], lrec[2], params, 0, **kw))
+    b = np.asarray(render_image_mega(
+        cd, bins.sph_zmin, lrec[0], lrec[1], lrec[2], params, 0,
+        merged_sweep=True, **kw))
+    assert np.abs(a - b).max() < 1e-5
