@@ -582,6 +582,10 @@ def gather_other_records(bins: "ScreenBins", scene, lb: "LightBins" = None):
     if rec.shape[0] < kg:
         rec = np.pad(rec, ((0, kg - rec.shape[0]), (0, 0)))
     rec = rec[:kg].copy()
+    # rows 4-7 get repurposed as light-space cull data below; the shadow
+    # kernel's transparency filter still needs the primitive alpha — stash
+    # it in the spare row 15
+    rec[:, 15] = rec[:, 7]
     if lb is not None and n_occ:
         e1 = np.asarray(lb.e1, np.float32)
         e2 = np.asarray(lb.e2, np.float32)

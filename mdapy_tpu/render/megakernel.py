@@ -454,7 +454,8 @@ def _mega_kernel(
                 if other and debug_phases >= 3:
                     @pl.when(othl)
                     def other_pass():
-                        odma(oslot, tile).wait()
+                        if peel == 0:
+                            odma(oslot, tile).wait()
                         orec = obuf[oslot]                     # (16, KO)
                         orecT = jnp.swapaxes(orec, 0, 1)       # (KO, 16)
                         px = orecT[:, 0:1]
@@ -471,7 +472,7 @@ def _mega_kernel(
                         dy = state[pl.ds(_DY, 1), :]
                         dz = state[pl.ds(_DZ, 1), :]
                         bt = state[pl.ds(_BT, 1), :]
-                        if perspective:
+                        if perspective and n_peel == 1:
                             ocx = ox - px                      # (KO, 1)
                             ocy = oy - py
                             ocz = oz - pz
@@ -1050,14 +1051,32 @@ def _mega_kernel(
                                     hit_tile & (typ == 2.0) & (jnp.abs(dn) > 1e-12)
                                     & (tr0 > eps) & (rho2 <= rad * rad)
                                 )
-                                occf = jnp.max(
-                                    jnp.where(occ_c | occ_r, f32(1.0), f32(0.0)),
-                                    axis=0, keepdims=True,
-                                )
-                                blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.maximum(
-                                    blocked[pl.ds(0, 1), pl.ds(0, C)],
-                                    lit_s * occf,
-                                )
+                                occ_cr = occ_c | occ_r
+                                if n_peel > 1:
+                                    # (1 - alpha) per transparent blocker;
+                                    # near-opaque blocks fully (api.c:918)
+                                    oal = occT[:, 15:16]
+                                    fac = jnp.where(
+                                        occ_cr,
+                                        jnp.where(oal >= 0.99999, 0.0,
+                                                  1.0 - oal),
+                                        1.0,
+                                    )
+                                    att = jnp.prod(fac, axis=0, keepdims=True)
+                                    bsl = blocked[pl.ds(0, 1), pl.ds(0, C)]
+                                    blocked[pl.ds(0, 1), pl.ds(0, C)] = (
+                                        1.0 - (1.0 - bsl)
+                                        * jnp.where(lit_s > 0.5, att, 1.0)
+                                    )
+                                else:
+                                    occf = jnp.max(
+                                        jnp.where(occ_cr, f32(1.0), f32(0.0)),
+                                        axis=0, keepdims=True,
+                                    )
+                                    blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.maximum(
+                                        blocked[pl.ds(0, 1), pl.ds(0, C)],
+                                        lit_s * occf,
+                                    )
 
                     if not (shadows and debug_phases >= 5):
                         nx_all = state[pl.ds(_NX, 1), :]
@@ -1642,10 +1661,7 @@ def render_image_mega(
     P = tile_px * tile_px
     nb, nchunks, _, CH = chunk_data.shape
     assert nb == tiles_x * tiles_y
-    assert n_peel == 1 or other_data is None, (
-        "transparency peeling covers sphere-only scenes; cyl/ring alpha "
-        "scenes use the exact tracer"
-    )
+
     # the kernel is f32 by design; upstream may hold f64 (CPU x64 paths)
     chunk_data = jnp.asarray(chunk_data, jnp.float32)
     zmin = jnp.asarray(zmin, jnp.float32)

@@ -390,12 +390,11 @@ class TachyonRender:
                     and (sphere_only
                          or not (cfg.shadows_enabled or cfg.ao_enabled)
                          or n_cylring <= 8192)
-                    # transparency peeling runs in the megakernel for
-                    # sphere-only scenes with a real budget; alpha cyl/ring
-                    # scenes and max_trans=1 configs use the exact tracer
-                    # (the n_peel=1 kernel is the opaque fast path)
-                    and (not cfg.transparency
-                         or (sphere_only and cfg.max_trans >= 2))
+                    # transparency peeling runs in the megakernel (spheres
+                    # AND cyl/ring bond scenes); max_trans=1 configs use
+                    # the exact tracer (the n_peel=1 kernel is the opaque
+                    # fast path)
+                    and (not cfg.transparency or cfg.max_trans >= 2)
                 )
                 if (cfg.ao_enabled or cfg.transparency) and not use_mega:
                     # fast AO needs the megakernel; other tiled paths don't

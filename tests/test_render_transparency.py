@@ -152,3 +152,101 @@ def test_transparency_with_ao_through_public_render():
     rgb = img[..., :3].astype(float) / 255.0
     assert np.isfinite(rgb).all() and 0.0 <= rgb.min() and rgb.max() <= 1.0
     assert rgb.std() > 0.01
+
+
+def _alpha_bond_scene(n=2, seed=7):
+    """Transparent spheres + alpha bonds + box edges (cyl/ring scene)."""
+    a = 3.615
+    frac = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.mgrid[0:n, 0:n, 0:n].reshape(3, -1).T
+    pos = (frac[None] + cells[:, None]).reshape(-1, 3) * a
+    rng = np.random.default_rng(seed)
+    rgb = rng.uniform(0.2, 1.0, (len(pos), 3))
+    alpha = np.where(rng.uniform(size=len(pos)) < 0.5,
+                     rng.uniform(0.3, 0.7, len(pos)), 1.0)
+    colors = np.c_[rgb, alpha].astype(np.float32)
+    radii = np.full(len(pos), 0.9, np.float32)
+    # nearest-neighbor bonds within 2.7 A
+    d = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+    ii, jj = np.where((d > 0.1) & (d < 2.7))
+    keep = ii < jj
+    edges = np.stack([pos[ii[keep]], pos[jj[keep]]], axis=1)[:40]
+    bcol = np.c_[rng.uniform(0.3, 1.0, (len(edges), 3)),
+                 np.where(rng.uniform(size=len(edges)) < 0.5, 0.5, 1.0)
+                 ].astype(np.float32)
+    lo, hi = pos.min(0) - 1.5, pos.max(0) + 1.5
+    corners = np.array([[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+                        [hi[0], hi[1], lo[2]], [lo[0], hi[1], lo[2]]])
+    box_edges = np.stack([corners, np.roll(corners, -1, 0)], axis=1)
+    return pos, colors, radii, edges, bcol, box_edges
+
+
+@pytest.mark.parametrize("shadows", [False, True])
+def test_transparency_peel_bond_scene(shadows):
+    """VERDICT r3 item 5: transparent scenes WITH bonds/cylinders must stay
+    on the megakernel peel path and match the exact tracer (the reference
+    GPU shader peels transparency for every primitive type,
+    TachyonOptiXShaders.cu:3089)."""
+    from mdapy_tpu.render.accel import gather_other_records
+
+    pos, colors, radii, edges, bcol, box_edges = _alpha_bond_scene()
+    cam = preset_camera("perspective", pos, max_radius=float(radii.max()))
+    scene = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32),
+        build_scene(pos, colors, radii, bond_edges=edges, bond_colors=bcol,
+                    bond_radius=0.25, box_edges=box_edges,
+                    box_edge_radius=0.12, box_color=(1.0, 1.0, 1.0, 0.6),
+                    dtype=np.float32),
+    )
+    frame = camera_frame(cam, W, H)
+    persp = bool(frame["perspective"])
+    cfg = RenderConfig(
+        aa_samples=0, aa_enabled=False, ao_samples=0, ao_enabled=False,
+        shadows_enabled=shadows, transparency=True, max_trans=4,
+    )
+    ref = np.asarray(render_image(
+        scene, frame["origin"], frame["lowleft"], frame["iplaneright"],
+        frame["iplaneup"], frame["view"], frame["light_dir"],
+        cfg, W, H, persp, 0, chunk=W * H,
+    ))
+    bins = build_screen_bins(scene, frame, W, H)
+    lb = build_light_bins(
+        scene, np.asarray(frame["light_dir"], np.float32), grid=48
+    )
+    cd = gather_chunk_data(
+        bins.sph_chunks, scene.sph_center, scene.sph_radius, scene.sph_color
+    )
+    other_rec = gather_other_records(bins, scene, lb)
+    lrec = build_light_records(lb, scene) if shadows else (None, None, None)
+    lo1 = jnp.min(scene.sph_center - scene.sph_radius[:, None], 0)
+    hi1 = jnp.max(scene.sph_center + scene.sph_radius[:, None], 0)
+    cmid = scene.cyl_base + 0.5 * scene.cyl_axis
+    cext = (0.5 * jnp.linalg.norm(scene.cyl_axis, axis=-1)
+            + jnp.maximum(scene.cyl_radius, 0))
+    lv = (scene.cyl_radius > 0)[:, None]
+    lo1 = jnp.minimum(lo1, jnp.min(
+        jnp.where(lv, cmid - cext[:, None], 1e30), axis=0))
+    hi1 = jnp.maximum(hi1, jnp.max(
+        jnp.where(lv, cmid + cext[:, None], -1e30), axis=0))
+    rv = (scene.ring_rout > 0)[:, None]
+    lo1 = jnp.minimum(lo1, jnp.min(jnp.where(
+        rv, scene.ring_center - scene.ring_rout[:, None], 1e30), axis=0))
+    hi1 = jnp.maximum(hi1, jnp.max(jnp.where(
+        rv, scene.ring_center + scene.ring_rout[:, None], -1e30), axis=0))
+    params = build_mega_params(frame, lb, np.asarray(lo1), np.asarray(hi1), cfg)
+    img = np.asarray(render_image_mega(
+        cd, bins.sph_zmin, lrec[0], lrec[1], lrec[2], params, 0,
+        S=1, width=W, height=H,
+        tiles_x=bins.tiles_x, tiles_y=bins.tiles_y,
+        grid_n=48, eps=cfg.eps, perspective=persp, shadows=shadows,
+        interpret=True, n_peel=4,
+        other_data=other_rec[0], other_count=other_rec[1],
+        occ_recs=other_rec[2], n_occ=other_rec[3],
+    ))
+    d = np.abs(img - ref)
+    # thin-cylinder silhouettes produce a handful of fp tie pixels vs the
+    # tracer even on opaque scenes (measured 13-25 at 96x80 on this scene);
+    # the transparency path must not add materially to that baseline
+    assert int((d.max(axis=2) > 2e-3).sum()) <= 40, (
+        (d.max(axis=2) > 2e-3).sum(), d.max())
+    assert d.mean() < 1e-3
