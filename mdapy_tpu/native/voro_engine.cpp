@@ -580,8 +580,17 @@ void voro_compute_grid(const double *pos, int64_t n, const double *matrix,
         inner.push_back({(float)d2, j, d});
       }
     }
-    std::sort(inner.begin(), inner.end(),
-              [](const Cand &a, const Cand &b) { return a.d2 < b.d2; });
+    // nearest-first: only the head of the list actually clips (the ~12-16
+    // face-generating neighbors); the tail just needs the d2 security test,
+    // so a partial sort of the head is enough
+    if (inner.size() > 48) {
+      std::partial_sort(
+          inner.begin(), inner.begin() + 48, inner.end(),
+          [](const Cand &a, const Cand &b) { return a.d2 < b.d2; });
+    } else {
+      std::sort(inner.begin(), inner.end(),
+                [](const Cand &a, const Cand &b) { return a.d2 < b.d2; });
+    }
     for (const Cand &cd : inner) {
       double d2 = dot(cd.d, cd.d);
       if (d2 > 4.0 * rmax2) continue;

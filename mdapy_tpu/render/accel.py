@@ -489,10 +489,12 @@ def build_light_records(lb: "LightBins", scene):
     or None when the scene has no spheres."""
     if lb.sph is None:
         return None
+    from .megakernel import SHW as _shw
+
     cand = lb.sph.cand
     count = lb.sph.count
-    padded_total = int(jnp.sum(((count + 127) // 128) * 128))
-    cap = _round_pow2(padded_total, lo=128)
+    padded_total = int(jnp.sum(((count + _shw - 1) // _shw) * _shw))
+    cap = _round_pow2(padded_total, lo=_shw)
     return _light_csr_kernel_data(
         cand, scene.sph_center, scene.sph_radius, scene.sph_color[:, 3],
         lb.e1, lb.e2, lb.org, lb.L, cap,

@@ -35,6 +35,7 @@ paths' convention.  AO and transparency are handled by the fallback paths.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,8 +49,11 @@ MINCONTRIB = 1.0 / 512.0
 TILE_GROUP = 8
 P = 256          # pixels per tile (tile_px = 16)
 TILE_PX = 16
-SHW = 128        # shadow window width (hard floor: HBM window DMAs must be
-                 # 128-lane aligned — Mosaic rejects narrower slices)
+# shadow window width (hard floor 128: HBM window DMAs must be 128-lane
+# aligned — Mosaic rejects narrower slices).  Wider windows halve the DMA
+# count and loop iterations per cell at coarser early-exit granularity;
+# build_light_records pads each cell's CSR segment to the same width.
+SHW = int(os.environ.get("MDAPY_TPU_SHW", "128"))
 PREF_C = 4       # per-light prefetched cells (window 0 of each)
 NBUF = 6         # tile-row DMA pipeline depth
 
@@ -612,7 +616,9 @@ def _mega_kernel(
                 # Single-light launches skip it — the staging overhead only
                 # pays for itself across multiple lights.
                 prefetch_on = (
-                    shadows and debug_phases >= 5 and L > 1 and not merged
+                    shadows and debug_phases >= 5 and not merged
+                    and (L > 1 or os.environ.get(
+                        "MDAPY_TPU_PREFETCH1", "0") == "1")
                 )
                 if prefetch_on:
                     for _l in range(L):
