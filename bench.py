@@ -24,12 +24,21 @@ import numpy as np
 def dsync(x):
     """Real device sync. jax.block_until_ready is a NO-OP on the tunneled
     axon backend (verified: a 50s matmul chain 'completes' in 0.4ms), so the
-    only honest fence is fetching a device scalar derived from the value."""
+    only honest fence is fetching a device scalar derived from the value.
+
+    A single scalar fetch costs 27-38 ms of pure tunnel roundtrip and
+    SERIALIZES with subsequent dispatch, so per-frame fetches would charge
+    every frame the full latency (rounds 3-4 overstated frame times by
+    ~30 ms this way).  Lists therefore reduce to ONE chained device scalar
+    and pay the roundtrip once — production PCIe readback costs <1 ms."""
     import jax.numpy as jnp
 
     if isinstance(x, (list, tuple)):
+        acc = None
         for v in x:
-            dsync(v)
+            m = jnp.max(v.astype(jnp.float32) if v.dtype != jnp.float32 else v)
+            acc = m if acc is None else acc + m
+        float(acc)
         return x
     float(jnp.max(x.astype(jnp.float32) if x.dtype != jnp.float32 else x))
     return x
@@ -85,19 +94,24 @@ def bench_potentials():
     out = {}
     s = mp.build_crystal("Cu", "fcc", 3.615, nx=40, ny=40, nz=40)  # 256k
 
-    def force_call_time(calc, reps=2):
-        """Device-resident force call (neighbor build + kernel + scalar
-        sync); results stay on device, as a minimizer/MD loop would consume
-        them.  block_until_ready is NOT trusted on the tunneled backend —
-        a device scalar fetch is the sync."""
-        best = 1e30
+    def force_call_time(calc, reps=4):
+        """Device-resident force call (neighbor build + kernel); results
+        stay on device, as a minimizer/MD loop would consume them.
+        block_until_ready is NOT trusted on the tunneled backend — the
+        sync is ONE chained scalar fetch over all reps (the 27-38 ms
+        tunnel roundtrip would otherwise dominate each call)."""
+        calc.results = {}
+        calc.calculate(s)
+        float(jnp.sum(calc.results["forces"]))  # warm + settle caches
+        t0 = time.time()
+        acc = None
         for _ in range(reps):
             calc.results = {}
-            t0 = time.time()
             calc.calculate(s)
-            float(jnp.sum(calc.results["forces"]))
-            best = min(best, time.time() - t0)
-        return best
+            m = jnp.sum(calc.results["forces"])
+            acc = m if acc is None else acc + m
+        float(acc)
+        return (time.time() - t0) / reps
 
     nep = NEP("/root/reference/tests/input_files/UNEP-v1.txt")
     nep.calculate(s)  # compile
@@ -199,9 +213,14 @@ def bench_potentials():
     r1 = neighbor_search_device(s1.pos, s1.box, 5.0)
     float(jnp.sum(r1[2]))
     t0 = time.time()
-    r1 = neighbor_search_device(s1.pos, s1.box, 5.0)
-    float(jnp.sum(r1[2]))
-    out["neighbor_1M_rc5_s"] = round(time.time() - t0, 3)
+    acc = None
+    reps_n = 3
+    for _ in range(reps_n):
+        r1 = neighbor_search_device(s1.pos, s1.box, 5.0)
+        m = jnp.sum(r1[2])
+        acc = m if acc is None else acc + m
+    float(acc)
+    out["neighbor_1M_rc5_s"] = round((time.time() - t0) / reps_n, 3)
     if "neighbor_ref_1M_s" in out:
         out["neighbor_vs_ref_speedup"] = round(
             out["neighbor_ref_1M_s"] / out["neighbor_1M_rc5_s"], 2

@@ -145,7 +145,8 @@ def neighbor_search_device(
     box: Box,
     rc: float,
     dtype=None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+    defer_check: bool = False,
+):
     """Device-resident neighbor build: no (N, M) host round-trips.
 
     The host↔device link can be orders of magnitude slower than the kernel
@@ -206,25 +207,47 @@ def neighbor_search_device(
         return verlet, cnt, max_cnt
 
     verlet, cnt, max_cnt = run(cap, M)
-    occ_i, cnt_i = (int(v) for v in np.asarray(jnp.stack([
+    sync_dev = jnp.stack([
         jnp.asarray(max_occ, jnp.int32), jnp.asarray(max_cnt, jnp.int32)
-    ])))
-    if -4 * (-occ_i // 4) > M:
-        # cached cell capacity was too small for this configuration: the
-        # dense grid dropped atoms — rebuild with the true occupancy
-        M = -4 * (-occ_i // 4)
-        _CAP_HIGH_WATER[m_key] = M
-        verlet, cnt, max_cnt = run(cap, M)
-        cnt_i = int(max_cnt)
-    if cnt_i > cap:
-        cap = -8 * (-(cnt_i + 4) // 8)
-        verlet, cnt, max_cnt = run(cap, M)
-        cnt_i = int(max_cnt)
-    # remember the measured requirement (small headroom) — the next call
-    # allocates tight instead of the conservative density formula
-    _CAP_HIGH_WATER[meas_key] = max(
-        _CAP_HIGH_WATER.get(meas_key, 0), -8 * (-(cnt_i + 4) // 8)
-    )
+    ])
+    if defer_check:
+        # start the validation transfer now; the caller dispatches its
+        # (async) consumer kernels first and calls check() afterwards, so
+        # the ~27-38 ms tunnel roundtrip overlaps device compute
+        try:
+            sync_dev.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+
+    def check(verlet=verlet, cnt=cnt, cap=cap, M=M):
+        """Validate the cached capacities; returns None when the results
+        stand, else the corrected (verlet, cnt) from a re-run."""
+        occ_i, cnt_i = (int(v) for v in np.asarray(sync_dev))
+        redo = False
+        if -4 * (-occ_i // 4) > M:
+            # cached cell capacity was too small for this configuration:
+            # the dense grid dropped atoms — rebuild with true occupancy
+            M = -4 * (-occ_i // 4)
+            _CAP_HIGH_WATER[m_key] = M
+            verlet, cnt, max_cnt2 = run(cap, M)
+            cnt_i = int(max_cnt2)
+            redo = True
+        if cnt_i > cap:
+            cap = -8 * (-(cnt_i + 4) // 8)
+            verlet, cnt, _mc = run(cap, M)
+            redo = True
+        # remember the measured requirement (small headroom) — the next
+        # call allocates tight instead of the conservative density formula
+        _CAP_HIGH_WATER[meas_key] = max(
+            _CAP_HIGH_WATER.get(meas_key, 0), -8 * (-(cnt_i + 4) // 8)
+        )
+        return (verlet, cnt) if redo else None
+
+    if defer_check:
+        return posj, verlet, cnt, n_images, check
+    fixed = check()
+    if fixed is not None:
+        verlet, cnt = fixed
     return posj, verlet, cnt, n_images
 
 

@@ -240,8 +240,12 @@ class EAM(CalculatorMP):
             types = np.tile(types, n_images)
         from ..neighbor.neighbor import neighbor_search_device
 
-        # box already enlarged, so indices refer to the replicated atom set
-        pos_d, verlet_d, cnt_d, _ = neighbor_search_device(pos, box, self.rc)
+        # box already enlarged, so indices refer to the replicated atom set.
+        # defer_check overlaps the capacity-validation fetch (~30 ms tunnel
+        # roundtrip) with the force kernel's device execution below
+        pos_d, verlet_d, cnt_d, _, _nbr_check = neighbor_search_device(
+            pos, box, self.rc, defer_check=True
+        )
         tab = self._eval_tables()
         nt = self.Nelements
         # one-hot MXU lookups when the matmul stays small (H*groups bounds
@@ -271,6 +275,25 @@ class EAM(CalculatorMP):
             _eam_block(pos_d.shape[0], verlet_d.shape[1]),
             use_mxu,
         )
+        # the force dispatch above is async; the deferred neighbor-capacity
+        # validation fetch has been riding the wire meanwhile.  On the rare
+        # violation (grown occupancy/neighbor count vs the caches), redo
+        # the force call with the corrected Verlet list.
+        fixed = _nbr_check()
+        if fixed is not None:
+            verlet_d, cnt_d = fixed
+            energy, force, virial = _eam_force_fast(
+                pack8, verlet_d,
+                jnp.asarray(box.matrix, pos_d.dtype),
+                jnp.asarray(box.inverse_box, pos_d.dtype),
+                jnp.asarray(box.boundary.astype(np.float64), pos_d.dtype),
+                tab["rho_flat"], tab["z2r_flat"], tab["F_flat"],
+                tab["rho_W"], tab["z2r_W"], tab["F_W"],
+                self.drho, self.dr, self.rc,
+                self.nr, self.nrho, nt,
+                _eam_block(pos_d.shape[0], verlet_d.shape[1]),
+                use_mxu,
+            )
         # results stay device-resident; CalculatorMP._fetch materializes on
         # first host access.  Stress is assembled on device (Voigt, same
         # convention as stress_from_virials).
