@@ -210,8 +210,12 @@ def bench_potentials():
     from mdapy_tpu.neighbor.neighbor import neighbor_search_device
 
     s1 = mp.build_crystal("Cu", "fcc", 3.615, nx=63, ny=63, nz=63)
-    r1 = neighbor_search_device(s1.pos, s1.box, 5.0)
-    float(jnp.sum(r1[2]))
+    # warm TWICE: call 1 uses the conservative density-formula capacity and
+    # records the measured requirement; call 2 compiles the tight-capacity
+    # kernel the steady state runs with
+    for _ in range(2):
+        r1 = neighbor_search_device(s1.pos, s1.box, 5.0)
+        float(jnp.sum(r1[2]))
     t0 = time.time()
     acc = None
     reps_n = 3
@@ -421,10 +425,13 @@ def main():
 
     # sustained throughput: frames issued back-to-back (device queue keeps
     # the chip busy), one sync at the end — the serving-pipeline shape
-    out = ren.render(pos, colors, radii, camera=cam, width=width,
-                     height=height, device_output=True)
-    dsync(out)
-    nframes = 10
+    outs = [
+        ren.render(pos, colors, radii, camera=cam, width=width,
+                   height=height, device_output=True)
+        for _ in range(2)
+    ]
+    dsync(outs)
+    nframes = 16
     t0 = time.time()
     outs = [
         ren.render(pos, colors, radii, camera=cam, width=width,
