@@ -300,7 +300,7 @@ def _pad_halo(a, axis: int, periodic: bool, fill):
 @functools.partial(
     jax.jit,
     static_argnames=("ncells", "boundary", "M", "max_neigh", "exclude_self",
-                     "diagonal", "reorder"),
+                     "diagonal", "reorder", "need_dist"),
 )
 def neighbor_list_dense(
     pos,
@@ -317,6 +317,7 @@ def neighbor_list_dense(
     exclude_self: bool = True,
     diagonal: bool = False,
     reorder: bool = True,
+    need_dist: bool = True,
 ):
     """Gather-free Verlet build — the TPU fast path.
 
@@ -448,12 +449,17 @@ def neighbor_list_dense(
         ctop = csort[:, :max_neigh]
         good = dtop < big
         verlet = jnp.where(good, ctop, -1)
+        if not need_dist:
+            # potential evaluators recompute displacements from positions;
+            # skip the sqrt + (ntot*M, max_neigh) distance materialization
+            return verlet, jnp.zeros((rows, 1), dtype), cnt.reshape(rows), \
+                qi.reshape(rows)
         dist = jnp.where(good, jnp.sqrt(jnp.maximum(dtop, 0.0)), 0.0)
         return verlet, dist, cnt.reshape(rows), qi.reshape(rows)
 
     verlet_s, dist_s, cnt_s, qi_s = jax.lax.map(do_plane, jnp.arange(ncx))
     verlet_s = verlet_s.reshape(ntot * M, max_neigh)
-    dist_s = dist_s.reshape(ntot * M, max_neigh)
+    dist_s = dist_s.reshape(ntot * M, -1)
     cnt_s = cnt_s.reshape(ntot * M)
     qi_s = qi_s.reshape(ntot * M)
     if not reorder:
@@ -464,6 +470,9 @@ def neighbor_list_dense(
     # return rows to original atom order; padding rows target the spill row n
     tgt = jnp.where(qi_s >= 0, qi_s, n)
     verlet = jnp.full((n + 1, max_neigh), -1, jnp.int32).at[tgt].set(verlet_s)[:n]
-    dist = jnp.zeros((n + 1, max_neigh), dtype).at[tgt].set(dist_s)[:n]
+    if need_dist:
+        dist = jnp.zeros((n + 1, max_neigh), dtype).at[tgt].set(dist_s)[:n]
+    else:
+        dist = None
     cnt = jnp.zeros((n + 1,), jnp.int32).at[tgt].set(cnt_s)[:n]
     return verlet, dist, cnt, jnp.max(cnt)

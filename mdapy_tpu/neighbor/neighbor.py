@@ -195,6 +195,7 @@ def neighbor_search_device(
                 order, sorted_cid, cell_start, M,
                 max_neigh=capacity, exclude_self=True,
                 diagonal=not box_c.triclinic, reorder=True,
+                need_dist=False,
             )
         else:
             verlet, dist, cnt, max_cnt = cl.neighbor_list_fixed(
