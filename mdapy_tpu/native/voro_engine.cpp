@@ -79,8 +79,14 @@ struct Cell {
   double d[MAX_V];     // per-clip scratch: signed plane distances
   uint8_t live[MAX_V];
   double rmax2;        // max vr2 over live vertices
+  bool overflow;       // vertex pool exhausted: cell geometry best-effort
 
   int add_vertex(V3 p) {
+    if (nv >= MAX_V) {  // never write past the pool; flag and reuse the
+      overflow = true;  // last slot (the caller raises flags[i])
+      nv = MAX_V;
+      return MAX_V - 1;
+    }
     v[nv] = p;
     vr2[nv] = dot(p, p);
     live[nv] = 1;
@@ -132,6 +138,13 @@ struct Cell {
     // per-candidate reject scan near the live-vertex count (~26) instead
     // of the append-only high-water mark
     if (nv > 72) compact();
+    // a degenerate cell can keep adding vertices past the dedup table's
+    // MAX_CUT cap; refuse to start a clip without generous headroom (the
+    // caller sees `overflow` and raises the escalate flag)
+    if (nv > MAX_V - 4 * MAX_CUT) {
+      overflow = true;
+      return false;
+    }
     // one distance scan over the pool; most candidates exit right here
     double dmax = -1e300;
     for (int k = 0; k < nv; k++) {
@@ -261,6 +274,7 @@ static void init_cube(Cell &c, double h) {
   // axis-aligned cube [-h, h]^3 around the seed, face planes tagged -7
   c.nf = 6;
   c.nv = 0;
+  c.overflow = false;
   const int idx[6][4] = {{0, 1, 3, 2}, {4, 6, 7, 5}, {0, 4, 5, 1},
                          {2, 3, 7, 6}, {0, 2, 6, 4}, {1, 5, 7, 3}};
   for (int k = 0; k < 8; k++) {
@@ -352,7 +366,7 @@ void voro_compute(const double *pos, int64_t n_total, int64_t n_query,
     // candidate list ran out before the security bound held: the caller
     // must escalate the search radius (voro++ grows its block search the
     // same way)
-    flags[i] = closed ? 0 : 1;
+    flags[i] = (closed && !cell.overflow) ? 0 : 1;
     // ---- measurements -------------------------------------------------
     double vol = 0.0;
     int faces = 0;
@@ -644,7 +658,7 @@ void voro_compute_grid(const double *pos, int64_t n, const double *matrix,
           rmax2 = cell.max_r2();
       }
     }
-    flags[i] = closed ? 0 : 1;
+    flags[i] = (closed && !cell.overflow) ? 0 : 1;
     double volv = 0.0;
     int faces = 0;
     int64_t nn = 0;

@@ -157,6 +157,18 @@ def neighbor_search_device(
     Returns (pos_dev (ntotal,3), verlet_dev (ntotal,max_neigh) int32 row
     slot -1-padded in original atom order, cnt_dev (ntotal,), n_images).
     Indices refer to the (possibly replicated) atom set; image 0 first.
+
+    .. warning:: ``defer_check=True`` adds a fifth return value ``check()``
+       and makes it a HARD CONTRACT: the returned ``verlet``/``cnt`` were
+       built with CACHED capacities that this configuration may have
+       outgrown (a too-small cell capacity scatters atoms into neighboring
+       cells' slots — silently corrupt lists, not just truncated ones).
+       The caller MUST invoke ``check()`` before trusting the results and,
+       when it returns a ``(verlet, cnt)`` pair, use that pair instead.
+       The payoff: the ~30 ms tunneled capacity-validation fetch overlaps
+       whatever device work the caller dispatches between the two calls
+       (see EAM.calculate for the pattern).  Never hand the un-checked
+       arrays to code that might not run ``check()``.
     """
     pos = np.ascontiguousarray(pos, dtype=np.float64)
     pos_c, box_c, n_images = replicate_for_small_box(pos, box, rc)

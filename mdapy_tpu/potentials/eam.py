@@ -211,14 +211,22 @@ class EAM(CalculatorMP):
     def calculate(self, system) -> None:
         # element->type mapping is invariant across force calls on the same
         # frame (a minimizer/MD loop moves atoms, not species) — cache it on
-        # the system; the vectorized unique/inverse path avoids a Python
-        # loop over N atoms on cache misses
-        ckey = (id(system.data), system.N, tuple(self.elements_list))
+        # the system, keyed on the element COLUMN OBJECT plus a cheap content
+        # fingerprint: id(system.data) alone misses in-place species edits
+        # (MC swaps replace column values on the same frame object) and ids
+        # can be recycled after GC.  The fingerprint samples head/tail/stride
+        # of the raw element codes, so any realistic species change (swap,
+        # relabel, column replacement) invalidates the cache.
+        elems = np.asarray(system.data["element"])
+        stride = max(1, elems.size // 8192)
+        fp = hash((tuple(elems[:64]), tuple(elems[-64:]),
+                   tuple(elems[::stride])))
+        ckey = (system.N, tuple(self.elements_list), fp)
         cached = getattr(system, "_eam_type_cache", None)
         if cached is not None and cached[0] == ckey:
             types = cached[1]
         else:
-            elems = np.asarray(system.data["element"]).astype(str)
+            elems = elems.astype(str)
             uniq, inv = np.unique(elems, return_inverse=True)
             for e in uniq.tolist():
                 if e not in self.elements_list:

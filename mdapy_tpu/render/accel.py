@@ -441,18 +441,19 @@ def build_light_bins(scene, light_dir, grid: int = 128) -> LightBins:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
+@functools.partial(jax.jit, static_argnames=("cap", "shw"))
 def _light_csr_kernel_data(cand, centers, radii, alphas, e1, e2, org, L,
-                           cap: int):
+                           cap: int, shw: int = 128):
     """CSR light-grid records for the Pallas shadow kernel.
 
     Per cell, candidates sorted DESCENDING by far-depth key (c.L + r) — the
     light-side-first scan order — then flattened with each cell's segment
-    padded to a 128 multiple (aligned window DMAs).  Records are rows
-    [cu, cv, ck, r, key, alpha] where (cu, cv) are lateral light-space
-    coords and ck = c.L, so the in-kernel occlusion test is 2D lateral +
-    depth; alpha feeds the transparency-peeling sweep's multiplicative
-    (1 - alpha) shadow attenuation."""
+    padded to a multiple of ``shw`` (the kernel's shadow-window width, so
+    window DMAs stay aligned and never cross into the next cell's records).
+    Records are rows [cu, cv, ck, r, key, alpha] where (cu, cv) are lateral
+    light-space coords and ck = c.L, so the in-kernel occlusion test is 2D
+    lateral + depth; alpha feeds the transparency-peeling sweep's
+    multiplicative (1 - alpha) shadow attenuation."""
     ncells, K = cand.shape
     idx = jnp.maximum(cand, 0)
     live = cand >= 0
@@ -461,7 +462,7 @@ def _light_csr_kernel_data(cand, centers, radii, alphas, e1, e2, org, L,
     order = jnp.argsort(-key, axis=1)
     cand_s = jnp.take_along_axis(cand, order, axis=1)
     count = jnp.sum(live, axis=1).astype(jnp.int32)
-    padded = ((count + 127) // 128) * 128
+    padded = ((count + (shw - 1)) // shw) * shw
     offs = jnp.cumsum(padded) - padded
     pair = jnp.arange(cap, dtype=jnp.int32)
     cell = jnp.searchsorted(offs + padded, pair, side="right").astype(jnp.int32)
@@ -497,7 +498,7 @@ def build_light_records(lb: "LightBins", scene):
     cap = _round_pow2(padded_total, lo=_shw)
     return _light_csr_kernel_data(
         cand, scene.sph_center, scene.sph_radius, scene.sph_color[:, 3],
-        lb.e1, lb.e2, lb.org, lb.L, cap,
+        lb.e1, lb.e2, lb.org, lb.L, cap, shw=_shw,
     )
 
 

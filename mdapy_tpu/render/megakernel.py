@@ -29,7 +29,11 @@ Structure per 16x16 screen tile (grid step handles TILE_GROUP tiles):
 
 AA jitter comes from an in-kernel integer hash (xxhash-style avalanche), so
 the kernel needs no RNG inputs; sample 0 is unjittered, matching the XLA
-paths' convention.  AO and transparency are handled by the fallback paths.
+paths' convention.  AO runs in-kernel as K extra sky lights that share the
+single closest-hit traversal (``extra_lights`` + ``ao_shared``), and
+transparency runs in-kernel as iterative peeling (``n_peel`` > 1); only
+max_trans==1 transparent configs and very heavy bond scenes fall back to
+the exact tracer (render.py:373-398).
 """
 
 from __future__ import annotations
@@ -54,6 +58,10 @@ TILE_PX = 16
 # count and loop iterations per cell at coarser early-exit granularity;
 # build_light_records pads each cell's CSR segment to the same width.
 SHW = int(os.environ.get("MDAPY_TPU_SHW", "128"))
+if SHW < 128 or SHW % 128:
+    raise ValueError(
+        f"MDAPY_TPU_SHW must be a positive multiple of 128, got {SHW}"
+    )
 PREF_C = 4       # per-light prefetched cells (window 0 of each)
 NBUF = 6         # tile-row DMA pipeline depth
 

@@ -343,6 +343,15 @@ class TachyonRender:
                     # volume, not tile count) — 16 stays the default; the
                     # knob remains for tuning sweeps
                     _tpx = int(os.environ.get("MDAPY_TPU_TILE_PX", "16"))
+                    if _tpx not in (8, 16, 32):
+                        import warnings
+
+                        warnings.warn(
+                            f"MDAPY_TPU_TILE_PX={_tpx} is unsupported "
+                            "(must be 8, 16 or 32); falling back to 16",
+                            RuntimeWarning,
+                        )
+                        _tpx = 16
                     bins = build_screen_bins(
                         scene, frame, int(width), int(height), tile_px=_tpx)
                     # grid=32: measured sweet spot for the megakernel's
