@@ -44,6 +44,36 @@ def dsync(x):
     return x
 
 
+def orbit_cameras(base, center, n=8, arc_deg=360.0):
+    """n cameras orbiting `center` about the base camera's up axis.
+
+    The camera-motion (cache-cold accel) benchmark: every frame pays the
+    screen-bin/record rebuild that identical-frame caching hides (VERDICT
+    r4 item 3; the reference Tachyon rebuilds its grid on every
+    rt_renderscene, grid.c:224)."""
+    import math
+
+    from mdapy_tpu.render.camera import CameraParams
+
+    center = np.asarray(center, np.float64)
+    p0 = np.asarray(base.position) - center
+    u = np.asarray(base.up, np.float64)
+    u = u / np.linalg.norm(u)
+    cams = []
+    for k in range(n):
+        th = math.radians(arc_deg) * k / n
+        c, s = math.cos(th), math.sin(th)
+        rot = c * p0 + s * np.cross(u, p0) + (1 - c) * u * (u @ p0)
+        posn = center + rot
+        d = center - posn
+        d = d / np.linalg.norm(d)
+        cams.append(CameraParams(
+            base.is_perspective, base.field_of_view, tuple(posn), tuple(d),
+            tuple(base.up),
+        ))
+    return cams
+
+
 def build_scene(n_cells: int):
     a = 3.615
     frac = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
@@ -280,6 +310,24 @@ def bench_config3():
         "config3_grays_per_s": round(rays / dt / 1e9, 3),
         "config3_atoms": n,
     }
+    # camera-motion path: 8 distinct cameras, every frame rebuilds the
+    # camera-dependent accel (screen bins, records, primary-light CSR);
+    # the world-space AO structures are scene-keyed and reused
+    cams = orbit_cameras(cam, pos.mean(axis=0), 8)
+    for c in cams:  # warm lap: compiles + capacity high-water
+        o = ren.render(pos, colors, radii, camera=c, width=W, height=H,
+                       device_output=True)
+    dsync(o)
+    t0 = time.time()
+    outs = [
+        ren.render(pos, colors, radii, camera=c, width=W, height=H,
+                   device_output=True)
+        for c in cams
+    ]
+    dsync(outs)
+    out["config3_orbit_ms_per_frame"] = round(
+        (time.time() - t0) / len(cams) * 1e3, 1
+    )
     # reference rays/s on the same scene with AO through the compiled
     # Tachyon engine (small raster; CPU rays/s is resolution-independent)
     try:
@@ -346,11 +394,29 @@ def bench_config5():
     dsync(outs)
     dt = (time.time() - t0) / nframes
     rays = W * H * (AA + 1) * 2
-    return {
+    out = {
         "config5_atoms": n,
         "config5_ms_per_frame": round(dt * 1e3, 1),
         "config5_grays_per_s": round(rays / dt / 1e9, 3),
     }
+    # camera-motion: every frame pays the banded record re-gather (~6.7 GB)
+    # — the honest animation cost (BASELINE target: <= 3 s/frame)
+    cams = orbit_cameras(cam, pos.mean(axis=0), 4)
+    for c in cams[:1]:  # warm: compile + capacity high-water for new K
+        o = ren.render(pos, colors, radii, camera=c, width=W, height=H,
+                       device_output=True)
+    dsync(o)
+    t0 = time.time()
+    outs = [
+        ren.render(pos, colors, radii, camera=c, width=W, height=H,
+                   device_output=True)
+        for c in cams
+    ]
+    dsync(outs)
+    out["config5_orbit_s_per_frame"] = round(
+        (time.time() - t0) / len(cams), 2
+    )
+    return out
 
 
 def bench_io():

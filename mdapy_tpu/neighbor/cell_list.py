@@ -300,7 +300,7 @@ def _pad_halo(a, axis: int, periodic: bool, fill):
 @functools.partial(
     jax.jit,
     static_argnames=("ncells", "boundary", "M", "max_neigh", "exclude_self",
-                     "diagonal", "reorder", "need_dist"),
+                     "diagonal", "reorder", "need_dist", "compact_only"),
 )
 def neighbor_list_dense(
     pos,
@@ -318,6 +318,7 @@ def neighbor_list_dense(
     diagonal: bool = False,
     reorder: bool = True,
     need_dist: bool = True,
+    compact_only: bool = False,
 ):
     """Gather-free Verlet build — the TPU fast path.
 
@@ -439,6 +440,18 @@ def neighbor_list_dense(
         d2m = jnp.where(ok, d2, big)
         cnt = jnp.sum(ok, axis=-1).astype(jnp.int32)           # (R, M)
         rows = R * M
+        if compact_only:
+            # potential evaluators need COMPACTED rows, not distance-sorted
+            # ones: a single-i32 sort (valid ids first, ascending; invalid
+            # = INT32_MAX) costs well under half the (f32 key, i32 payload)
+            # pair sort that dominates the dense build
+            imax = jnp.int32(2**31 - 1)
+            keys = jnp.where(ok, ci[:, None, :], imax)
+            ksort = jax.lax.sort(keys.reshape(rows, C), dimension=1)
+            ctop = ksort[:, :max_neigh]
+            verlet = jnp.where(ctop < imax, ctop, -1)
+            return verlet, jnp.zeros((rows, 1), dtype), cnt.reshape(rows), \
+                qi.reshape(rows)
         dsort, csort = jax.lax.sort(
             (d2m.reshape(rows, C),
              jnp.broadcast_to(ci[:, None, :], (R, M, C)).reshape(rows, C)),

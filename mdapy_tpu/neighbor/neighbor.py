@@ -202,12 +202,16 @@ def neighbor_search_device(
 
     def run(capacity, M):
         if cl.dense_eligible(ncells, bnd_t, M):
+            # compact_only: the potential evaluators consume rows in any
+            # order (pair sums are permutation-invariant), so the dense
+            # build compacts with a cheap single-i32 sort instead of the
+            # distance pair sort
             verlet, dist, cnt, max_cnt = cl.neighbor_list_dense(
                 posj, mj, oj, float(rc), ncells, bnd_t,
                 order, sorted_cid, cell_start, M,
                 max_neigh=capacity, exclude_self=True,
                 diagonal=not box_c.triclinic, reorder=True,
-                need_dist=False,
+                need_dist=False, compact_only=True,
             )
         else:
             verlet, dist, cnt, max_cnt = cl.neighbor_list_fixed(

@@ -13,6 +13,7 @@ analytic derivative path mirrors the kernel exactly for LAMMPS parity).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -176,21 +177,48 @@ class EAM(CalculatorMP):
             return cached
 
         def pack(y, fp):
-            # (..., ntab) -> (..., ntab-1, 4)
+            # (..., ntab) -> (..., ntab-1, 4) rows [y_m, y_{m+1}-y_m, fp_m,
+            # fp_{m+1}].  The interval DIFFERENCE is stored (computed here
+            # in f64) rather than the right node: the Hermite coefficients
+            # divide (y1 - y0) by h^2, so storing the endpoints would
+            # amplify per-node representation error by ~1/h under
+            # cancellation — storing dy keeps every consumed quantity's
+            # error relative to its own magnitude.
             return np.stack(
-                [y[..., :-1], y[..., 1:], fp[..., :-1], fp[..., 1:]], axis=-1
+                [y[..., :-1], np.diff(y, axis=-1), fp[..., :-1], fp[..., 1:]],
+                axis=-1,
             )
 
         def weights(packed):
+            """(G, rows, 4) -> (3, H, G*LANE*4) bf16 weight pieces.
+
+            Same hi-bucket-major layout as before (the one-hot matmul runs
+            over the H=ceil(rows/16) hi axis; the remaining per-pair
+            selections are tiny: G groups then the 16-wide lo residue), but
+            the f32 node values are split into three bf16 pieces (hi + mid
+            + lo residuals, exact f64 residual arithmetic).  Three bf16
+            one-hot matmuls with f32 accumulation reconstruct each value to
+            ~2^-27 relative (≈ f32 roundoff) at ~2x the speed of the one
+            f32-HIGHEST matmul this replaces (XLA lowers HIGHEST f32 dots
+            to 6 bf16 passes)."""
+            import ml_dtypes
+
             G, rows, _ = packed.shape
             H = -(-rows // _LANE)
             pad = np.zeros((G, H * _LANE - rows, 4), packed.dtype)
             seg = np.concatenate([packed, pad], axis=1).reshape(
                 G, H, _LANE * 4
             )
-            return np.ascontiguousarray(
+            w = np.ascontiguousarray(
                 np.transpose(seg, (1, 0, 2))
             ).reshape(H, G * _LANE * 4)
+            pieces = []
+            rem = w.astype(np.float64)
+            for _ in range(3):
+                p = rem.astype(np.float32).astype(ml_dtypes.bfloat16)
+                pieces.append(p)
+                rem = rem - p.astype(np.float64)
+            return jnp.asarray(np.stack(pieces))
 
         nt = self.Nelements
         rho_p = pack(self.rho_r, self._rho_fp)
@@ -260,8 +288,10 @@ class EAM(CalculatorMP):
         # the per-pair FLOPs); the row-gather path covers big multi-element
         # tables and the CPU backend (whose native gathers are fast)
         H = -(-(self.nr - 1) // _LANE)
+        _mxu_env = os.environ.get("MDAPY_TPU_EAM_MXU", "")
         use_mxu = (
             jax.default_backend() != "cpu" and H * nt * nt <= 2048
+            if _mxu_env == "" else _mxu_env != "0"
         )
         pack8 = jnp.concatenate(
             [
@@ -346,12 +376,15 @@ def _node_lookup(m, groups, W, flat, n_rows: int, use_mxu: bool):
     returns one (y0, y1, fp0, fp1) tuple per entry in `groups`.
 
     MXU path: the lookup index factorizes as m = hi*LANE + lo, so one
-    one-hot(hi) matmul against the weight matrix W (H, G*LANE*4) pulls every
-    group's 4-node row for all LANE residues at once; group and residue are
-    then selected with dense one-hot contractions.  This sidesteps the TPU
-    scalar-gather unit (~7 ns/element — a 1.4M-element gather costs ~10 ms;
-    the matmul form runs the same lookup in <2 ms and is exact, since the
-    one-hot picks single f32 values).
+    one-hot(hi) bf16 matmul per table piece (three pieces: the f32 node
+    values split into bf16 hi/mid/lo residuals, see ``weights``) against
+    (H, G*LANE*4) weights pulls every group's 4-node row for all LANE
+    residues at once with f32 accumulation — the one-hot makes every output
+    the sum of the three pieces of a single table value, reconstructing it
+    to ~2^-27 relative (≈ f32 roundoff) at ~2x the speed of the
+    f32-HIGHEST dot it replaces.  Group and residue are then selected with
+    tiny masked VPU sums.  This sidesteps the TPU scalar-gather unit
+    (~7 ns/element — a 1.4M-element gather costs ~10 ms).
 
     Gather path (CPU, or large multi-element tables): one 4-wide row gather
     per group from the flat packed table.
@@ -359,31 +392,35 @@ def _node_lookup(m, groups, W, flat, n_rows: int, use_mxu: bool):
     if use_mxu:
         shp = m.shape
         flatm = m.reshape(-1)
-        dt = flat.dtype
-        H = W.shape[0]
-        G = W.shape[1] // (_LANE * 4)
+        H = W.shape[1]
+        G = W.shape[2] // (_LANE * 4)
         hi = flatm // _LANE
         lo = flatm % _LANE
-        oh_hi = (hi[:, None] == jnp.arange(H, dtype=hi.dtype)[None]).astype(dt)
-        R = jax.lax.dot_general(
-            oh_hi, W, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(-1, G, _LANE, 4)
+        oh_hi = (
+            hi[:, None] == jnp.arange(H, dtype=hi.dtype)[None]
+        ).astype(jnp.bfloat16)
+        R = None
+        for piece in range(W.shape[0]):
+            part = jax.lax.dot_general(
+                oh_hi, W[piece], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            R = part if R is None else R + part
+        R = R.reshape(-1, G, _LANE, 4)
         sel_lo = (
             lo[:, None] == jnp.arange(_LANE, dtype=lo.dtype)[None]
-        ).astype(dt)
+        ).astype(R.dtype)
         out = []
         for g in groups:
-            sel_g = (
-                g.reshape(-1)[:, None] == jnp.arange(G, dtype=jnp.int32)[None]
-            ).astype(dt)
-            # HIGHEST keeps the one-hot selections exact on TPU too —
-            # default einsum precision would round the f32 node values
-            # through bf16 operands
-            Rg = jnp.einsum("pg,pgle->ple", sel_g, R,
-                            precision=jax.lax.Precision.HIGHEST)
-            v = jnp.einsum("pl,ple->pe", sel_lo, Rg,
-                           precision=jax.lax.Precision.HIGHEST)
+            if G == 1:
+                Rg = R[:, 0]
+            else:
+                sel_g = (
+                    g.reshape(-1)[:, None]
+                    == jnp.arange(G, dtype=jnp.int32)[None]
+                ).astype(R.dtype)
+                Rg = jnp.sum(R * sel_g[:, :, None, None], axis=1)
+            v = jnp.sum(Rg * sel_lo[:, :, None], axis=1)
             out.append(tuple(v[:, c].reshape(shp) for c in range(4)))
         return out
     out = []
@@ -394,12 +431,12 @@ def _node_lookup(m, groups, W, flat, n_rows: int, use_mxu: bool):
 
 
 def _hermite(nodes, dx, h):
-    """(f, df) of the LAMMPS cubic from node data (y_m, y_{m+1}, fp_m,
+    """(f, df) of the LAMMPS cubic from node data (y_m, y_{m+1}-y_m, fp_m,
     fp_{m+1}); dx in [0, h] is the offset inside the interval."""
-    y0, y1, f0, f1 = nodes
+    y0, dy, f0, f1 = nodes
     b = f0 / h
-    c = (3.0 * (y1 - y0) - 2.0 * f0 - f1) / (h * h)
-    d = (f0 + f1 - 2.0 * (y1 - y0)) / (h * h * h)
+    c = (3.0 * dy - 2.0 * f0 - f1) / (h * h)
+    d = (f0 + f1 - 2.0 * dy) / (h * h * h)
     f = y0 + dx * (b + dx * (c + dx * d))
     df = b + dx * (2.0 * c + 3.0 * dx * d)
     return f, df

@@ -27,7 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["KindBins", "build_screen_bins", "build_light_bins", "ScreenBins", "LightBins"]
+__all__ = [
+    "KindBins", "build_screen_bins", "build_light_bins", "ScreenBins",
+    "LightBins", "scene_live_counts",
+]
 
 
 def _round_pow2(x: int, lo: int = 256) -> int:
@@ -224,15 +227,75 @@ def _screen_spans(
     return tx0, ty0, span_w, span_h
 
 
-def _build_kind(x0, y0, sw, sh, nx, nbuckets, seg=None, tile_px: int = 0) -> KindBins:
+def _build_kind(x0, y0, sw, sh, nx, nbuckets, seg=None, tile_px: int = 0,
+                min_cap: int = 256, min_k: int = 8, pow2_k: bool = False):
+    """Synchronous build: measure capacities (2 host fetches), then expand.
+
+    Returns (KindBins, (cap, K)) so callers can cache the capacities.
+    ``pow2_k`` rounds K up to a power of two — capacity-cached animation
+    flows use it so K (a static kernel shape) stabilizes after one frame
+    instead of re-jitting on every small candidate-count wiggle."""
     total = int(_pair_stats(sw, sh))
-    cap = _round_pow2(total)
+    cap = max(_round_pow2(total), min_cap)
     kmax = int(_count_only(x0, y0, sw, sh, nx, cap, nbuckets, seg, tile_px))
-    K = _round8(kmax)
+    K = max(_round_pow2(kmax, lo=8) if pow2_k else _round8(kmax), min_k)
     cand, count = _expand_and_bucket(
         x0, y0, sw, sh, nx, cap, nbuckets, K, seg, tile_px
     )
-    return KindBins(cand, count)
+    return KindBins(cand, count), (cap, K)
+
+
+def _build_kinds_cached(jobs, cap_cache):
+    """Build several kinds with cached capacities + ONE deferred validation.
+
+    ``jobs``: list of (name, ckey, args) with args = (x0, y0, sw, sh, nx,
+    nbuckets, seg, tile_px).  Kinds whose ckey hits ``cap_cache`` build
+    immediately with the cached (cap, K) and queue their true
+    (total_pairs, max_count) device scalars; all queued scalars sync in one
+    batched fetch at the end (each separate fetch costs a full link
+    round-trip) and violated kinds rebuild synchronously with grown
+    capacities (high-water cached, like the neighbor engine's capacity
+    contract).  Cache misses take the 2-fetch sync path and seed the cache."""
+    out = {}
+    pend = []
+    for name, ckey, args in jobs:
+        x0, y0, sw, sh, nx, nbuckets, seg, tile_px = args
+        hit = cap_cache is not None and ckey in cap_cache
+        if hit:
+            cap, K = cap_cache[ckey]
+            cand, count = _expand_and_bucket(
+                x0, y0, sw, sh, nx, cap, nbuckets, K, seg, tile_px
+            )
+            out[name] = KindBins(cand, count)
+            pend.append((
+                name, ckey, args, cap, K,
+                _pair_stats(sw, sh),
+                _count_only(x0, y0, sw, sh, nx, cap, nbuckets, seg, tile_px),
+            ))
+        else:
+            kb, capk = _build_kind(*args, pow2_k=cap_cache is not None)
+            out[name] = kb
+            if cap_cache is not None:
+                cap_cache[ckey] = capk
+    if pend:
+        vals = np.asarray(jnp.stack(
+            [jnp.stack([jnp.asarray(t, jnp.int32), jnp.asarray(k, jnp.int32)])
+             for (_, _, _, _, _, t, k) in pend]
+        ))
+        for (name, ckey, args, cap, K, _, _), (tot, km) in zip(pend, vals):
+            tot, km = int(tot), int(km)
+            if tot > cap or km > K:
+                kb, capk = _build_kind(
+                    *args, min_cap=max(cap, _round_pow2(tot)),
+                    min_k=max(K, _round_pow2(km, lo=8) if tot <= cap else 8),
+                    pow2_k=True,
+                )
+                out[name] = kb
+                cap_cache[ckey] = capk
+            else:
+                # remember the measured requirement's high water
+                cap_cache[ckey] = (cap, K)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("perspective",))
@@ -274,17 +337,37 @@ def _cyl_screen_seg(
     return x0p, y0p, x1p, y1p, rpad, active
 
 
-def _prim_bounds(scene, kind: str):
+def scene_live_counts(scene) -> dict:
+    """{kind: live primitive count} in ONE device reduce + one host fetch.
+
+    Per-kind ``int(np.sum(np.asarray(radius) > 0))`` calls each pull a full
+    device array across the link (4 MB at 1M atoms — ~0.2 s on a tunneled
+    TPU) per accel rebuild; camera-motion workloads rebuild every frame, so
+    the counts are fetched once here and cached per scene by the caller."""
+    ns = jnp.stack([
+        jnp.sum(scene.sph_radius > 0),
+        jnp.sum(scene.cyl_radius > 0),
+        jnp.sum(scene.ring_rout > 0),
+    ])
+    ns = np.asarray(ns)
+    return {"sph": int(ns[0]), "cyl": int(ns[1]), "ring": int(ns[2])}
+
+
+def _prim_bounds(scene, kind: str, nlive: Optional[dict] = None):
     if kind == "sph":
-        return scene.sph_center, scene.sph_radius, int(np.sum(np.asarray(scene.sph_radius) > 0))
+        n = (nlive["sph"] if nlive is not None
+             else int(np.sum(np.asarray(scene.sph_radius) > 0)))
+        return scene.sph_center, scene.sph_radius, n
     if kind == "cyl":
-        live = np.asarray(scene.cyl_radius) > 0
+        n = (nlive["cyl"] if nlive is not None
+             else int(np.sum(np.asarray(scene.cyl_radius) > 0)))
         cmid = scene.cyl_base + 0.5 * scene.cyl_axis
         clen = jnp.linalg.norm(scene.cyl_axis, axis=-1)
         cr = jnp.where(scene.cyl_radius > 0, 0.5 * clen + scene.cyl_radius, -1.0)
-        return cmid, cr, int(live.sum())
-    live = np.asarray(scene.ring_rout) > 0
-    return scene.ring_center, scene.ring_rout, int(live.sum())
+        return cmid, cr, n
+    n = (nlive["ring"] if nlive is not None
+         else int(np.sum(np.asarray(scene.ring_rout) > 0)))
+    return scene.ring_center, scene.ring_rout, n
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -310,7 +393,9 @@ def _depth_sort_bins(cand, count, centers, radii, origin, view, chunk: int):
 BIG_DEPTH = 1e17
 
 
-def build_screen_bins(scene, frame, width: int, height: int, tile_px: int = 16) -> ScreenBins:
+def build_screen_bins(scene, frame, width: int, height: int, tile_px: int = 16,
+                      nlive: Optional[dict] = None,
+                      cap_cache: Optional[dict] = None) -> ScreenBins:
     dtype = scene.sph_center.dtype
     ipr = np.asarray(frame["iplaneright"], dtype)
     ipu = np.asarray(frame["iplaneup"], dtype)
@@ -325,10 +410,11 @@ def build_screen_bins(scene, frame, width: int, height: int, tile_px: int = 16) 
     tiles_x = -(-width // tile_px)
     tiles_y = -(-height // tile_px)
     nb = tiles_x * tiles_y
+    jobs = []
     out = {}
     for kind in ("sph", "cyl", "ring"):
-        centers, radii, nlive = _prim_bounds(scene, kind)
-        if nlive == 0:
+        centers, radii, nl = _prim_bounds(scene, kind, nlive)
+        if nl == 0:
             out[kind] = None
             continue
         tx0, ty0, sw, sh = _screen_spans(
@@ -348,7 +434,11 @@ def build_screen_bins(scene, frame, width: int, height: int, tile_px: int = 16) 
                 jnp.asarray(psx, dtype), jnp.asarray(psy, dtype),
                 bool(frame["perspective"]),
             )
-        out[kind] = _build_kind(tx0, ty0, sw, sh, tiles_x, nb, seg, tile_px)
+        jobs.append((
+            kind, ("screen", kind, width, height, tile_px),
+            (tx0, ty0, sw, sh, tiles_x, nb, seg, tile_px),
+        ))
+    out.update(_build_kinds_cached(jobs, cap_cache))
     sph_chunks = sph_zmin = None
     if out["sph"] is not None:
         cand = out["sph"].cand
@@ -414,7 +504,9 @@ def _light_frame(all_centers, all_radii, L):
     return e1, e2, umin, vmin, extent
 
 
-def build_light_bins(scene, light_dir, grid: int = 128) -> LightBins:
+def build_light_bins(scene, light_dir, grid: int = 128,
+                     nlive: Optional[dict] = None,
+                     cap_cache: Optional[dict] = None) -> LightBins:
     dtype = scene.sph_center.dtype
     L = jnp.asarray(np.asarray(light_dir, dtype))
     # frame over all kinds' bounds
@@ -425,14 +517,24 @@ def build_light_bins(scene, light_dir, grid: int = 128) -> LightBins:
     allr = jnp.concatenate([scene.sph_radius, cr, scene.ring_rout], axis=0)
     e1, e2, umin, vmin, extent = _light_frame(allc, allr, L)
     inv_cell = grid / extent
+    jobs = []
+    prims = {}
     out = {}
     for kind in ("sph", "cyl", "ring"):
-        centers, radii, nlive = _prim_bounds(scene, kind)
-        if nlive == 0:
+        centers, radii, nl = _prim_bounds(scene, kind, nlive)
+        if nl == 0:
             out[kind] = None
             continue
+        prims[kind] = (centers, radii)
         x0, y0, sw, sh = _light_spans(centers, radii, e1, e2, umin, vmin, inv_cell, grid)
-        kb = _build_kind(x0, y0, sw, sh, grid, grid * grid)
+        # capacities keyed per (kind, grid) but NOT per light direction:
+        # the high water across directions serves them all
+        jobs.append((
+            kind, ("light", kind, grid),
+            (x0, y0, sw, sh, grid, grid * grid, None, 0),
+        ))
+    for kind, kb in _build_kinds_cached(jobs, cap_cache).items():
+        centers, radii = prims[kind]
         cand, keys = _sort_light_cells(kb.cand, centers, radii, L)
         out[kind] = LightKind(cand, keys, kb.count)
     return LightBins(
@@ -483,11 +585,13 @@ def _light_csr_kernel_data(cand, centers, radii, alphas, e1, e2, org, L,
     return ldata, offs.astype(jnp.int32), count
 
 
-def build_light_records(lb: "LightBins", scene):
+def build_light_records(lb: "LightBins", scene, cap_cache: Optional[dict] = None):
     """Dense CSR record tensor for sphere shadow tests in Pallas.
 
     Returns (ldata (8, cap) f32, offs (ncells,) i32, count (ncells,) i32)
-    or None when the scene has no spheres."""
+    or None when the scene has no spheres.  ``cap_cache`` keeps the static
+    record capacity at its high water so camera-motion frames reuse the
+    jitted kernel instead of re-compiling on every capacity wiggle."""
     if lb.sph is None:
         return None
     from .megakernel import SHW as _shw
@@ -496,6 +600,10 @@ def build_light_records(lb: "LightBins", scene):
     count = lb.sph.count
     padded_total = int(jnp.sum(((count + _shw - 1) // _shw) * _shw))
     cap = _round_pow2(padded_total, lo=_shw)
+    if cap_cache is not None:
+        key = ("lrec", lb.grid, _shw)
+        cap = max(cap, cap_cache.get(key, 0))
+        cap_cache[key] = cap
     return _light_csr_kernel_data(
         cand, scene.sph_center, scene.sph_radius, scene.sph_color[:, 3],
         lb.e1, lb.e2, lb.org, lb.L, cap, shw=_shw,

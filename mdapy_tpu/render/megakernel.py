@@ -62,8 +62,13 @@ if SHW < 128 or SHW % 128:
     raise ValueError(
         f"MDAPY_TPU_SHW must be a positive multiple of 128, got {SHW}"
     )
-PREF_C = 4       # per-light prefetched cells (window 0 of each)
+PREF_C = int(os.environ.get("MDAPY_TPU_PREF_C", "4"))
+#                ^ per-light prefetched cells (window 0 of each)
 NBUF = 6         # tile-row DMA pipeline depth
+# refresh the shadow scan floor after every window (1, default) or rely on
+# the initial floor only (0: one fewer masked reduction + scalar sync per
+# window at the cost of possibly scanning deeper)
+FLOOR_REFRESH = os.environ.get("MDAPY_TPU_FLOOR_REFRESH", "1") != "0"
 
 __all__ = ["render_image_mega", "build_mega_params"]
 
@@ -194,6 +199,7 @@ def _mega_kernel(
     n_peel: int = 1,
     tile_px: int = TILE_PX,
     merged_sweep: bool = False,
+    antipodal: bool = False,
 ):
     G = TILE_GROUP
     TILE_PX = tile_px         # shadow the module defaults: the kernel is
@@ -644,18 +650,28 @@ def _mega_kernel(
                         plorgv = lparams_ref[lb16 + 10]
                         pinv_cell = lparams_ref[lb16 + 11]
                         Cp = P if (ao_shared and _l > 0) else SP
+                        anti_p = antipodal and _l > 0
                         # full-width rows (diffuse shading needs all samples)
                         pnx = state[pl.ds(_NX, 1), :]
                         pny = state[pl.ds(_NY, 1), :]
                         pnz = state[pl.ds(_NZ, 1), :]
                         pmiss = state[pl.ds(_MISS, 1), :]
                         pint_f = pnx * plx + pny * ply + pnz * plz
+                        # antipodal pair: the entry stands for BOTH +d and -d
+                        # sky directions; a point is lit by (at most) the one
+                        # matching its normal's sign, so lit = |n.d| test and
+                        # row 7 records which member each ray belongs to
+                        pint_g = jnp.abs(pint_f) if anti_p else pint_f
                         plit_f = jnp.where(
-                            (pint_f > MINCONTRIB) & (pmiss < 0.5),
+                            (pint_g > MINCONTRIB) & (pmiss < 0.5),
                             f32(1.0), f32(0.0),
                         )
                         lrows[pl.ds(_l * 8 + 0, 1), :] = pint_f
                         lrows[pl.ds(_l * 8 + 1, 1), :] = plit_f
+                        if anti_p:
+                            lrows[pl.ds(_l * 8 + 7, 1), :] = jnp.where(
+                                pint_f > 0.0, f32(1.0), f32(-1.0)
+                            )
                         phx = state[pl.ds(_HX, 1), pl.ds(0, Cp)]
                         phy = state[pl.ds(_HY, 1), pl.ds(0, Cp)]
                         phz = state[pl.ds(_HZ, 1), pl.ds(0, Cp)]
@@ -731,7 +747,13 @@ def _mega_kernel(
                 for _l in range(
                     L if (debug_phases >= 4 and not merged) else 0
                 ):
+                    # antipodal extras: this entry's one sweep serves the
+                    # +d AND -d sky directions (each ray tests its own
+                    # member, selected by the sign row); a second backward
+                    # scan per cell covers the -d early-exit order
+                    anti = antipodal and _l > 0
                     lb16 = _l * 16
+                    two_rmax = lparams_ref[lb16 + 13] * 2.0
                     lx = lparams_ref[lb16 + 0]
                     ly = lparams_ref[lb16 + 1]
                     lz = lparams_ref[lb16 + 2]
@@ -771,14 +793,19 @@ def _mega_kernel(
                                             pl.ds(0, C)]
                             gx_all = lrows[pl.ds(_l * 8 + 5, 1), pl.ds(0, C)]
                             gy_all = lrows[pl.ds(_l * 8 + 6, 1), pl.ds(0, C)]
+                            sgn_s = (
+                                lrows[pl.ds(_l * 8 + 7, 1), pl.ds(0, C)]
+                                if anti else None
+                            )
                         else:
                             nx_all = state[pl.ds(_NX, 1), :]
                             ny_all = state[pl.ds(_NY, 1), :]
                             nz_all = state[pl.ds(_NZ, 1), :]
                             miss_all = state[pl.ds(_MISS, 1), :]
                             inten = nx_all * lx + ny_all * ly + nz_all * lz
+                            inten_g = jnp.abs(inten) if anti else inten
                             lit_all = jnp.where(
-                                (inten > MINCONTRIB) & (miss_all < 0.5),
+                                (inten_g > MINCONTRIB) & (miss_all < 0.5),
                                 f32(1.0), f32(0.0),
                             )
                             litb = lit_all[:, :C] > 0.5
@@ -794,6 +821,11 @@ def _mega_kernel(
                             gy_all = jnp.clip(
                                 jnp.floor(v_all * inv_cell), 0, grid_n - 1
                             )
+                            sgn_s = (
+                                jnp.where(inten[:, :C] > 0.0, f32(1.0),
+                                          f32(-1.0))
+                                if anti else None
+                            )
                         tau_eps = tau_all + eps
                         blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.zeros((1, C), f32)
                         if prefetch_on:
@@ -804,6 +836,9 @@ def _mega_kernel(
                             nxc = lmeta[_l * 8 + 2].astype(jnp.int32)
                             nyc = lmeta[_l * 8 + 3].astype(jnp.int32)
                             ncell = lmeta[_l * 8 + 4].astype(jnp.int32)
+                            # sign carries the dense-occluder gate (the
+                            # non-prefetch branch's mxgx >= 0 test)
+                            mxgx = (ncell > 0).astype(f32) - 0.5
                         else:
                             mngx = jnp.min(jnp.where(litb, gx_all, f32(grid_n)))
                             mxgx = jnp.max(jnp.where(litb, gx_all, -1.0))
@@ -835,8 +870,14 @@ def _mega_kernel(
                             dv = cv - v_all
                             s2 = sr * sr - (du * du + dv * dv)
                             # occludes iff sqrt(s2) > tau + eps - ck; square both
-                            # sides instead of paying a (SHW, C) sqrt
-                            q = tau_eps - ck
+                            # sides instead of paying a (SHW, C) sqrt.
+                            # antipodal sweeps flip the depth axis per ray:
+                            # q = sgn*(tau - ck) + eps covers both members
+                            # (the lateral term s2 is direction-independent)
+                            if anti:
+                                q = sgn_s * (tau_all - ck) + eps
+                            else:
+                                q = tau_eps - ck
                             occ = (
                                 (s2 > 0.0) & srlive
                                 & ((q < 0.0) | (s2 > q * q))
@@ -875,7 +916,21 @@ def _mega_kernel(
                             selm = incell & (
                                 blocked[pl.ds(0, 1), pl.ds(0, C)] < thr
                             )
+                            if anti:
+                                # the descending-far-key order prunes the
+                                # +d member only; -d rays get the backward
+                                # scan, so they must not pin this floor
+                                selm = selm & (sgn_s > 0.0)
                             return jnp.min(jnp.where(selm, tau_all, BIG))
+
+                        def ceil_for(incell):
+                            """Deepest unblocked -d ray (backward-scan
+                            early-exit bound, antipodal sweeps only)."""
+                            thr = 0.999 if n_peel > 1 else 0.5
+                            selm = incell & (
+                                blocked[pl.ds(0, 1), pl.ds(0, C)] < thr
+                            ) & (sgn_s < 0.0)
+                            return jnp.max(jnp.where(selm, tau_all, -BIG))
 
                         def sweep_cell(ci, prefetched):
                             """Process candidate cell ci; `prefetched` (static:
@@ -910,13 +965,70 @@ def _mega_kernel(
 
                                 sdma(slot2, off0 + w * SHW).wait()
                                 nxt_kmax = occl_update(sbuf[slot2], incell)
-                                return w + 1, nxt_kmax, floor_for(incell)
+                                return w + 1, nxt_kmax, (
+                                    floor_for(incell) if FLOOR_REFRESH
+                                    else mintau
+                                )
 
                             def drain(wf):
                                 @pl.when(wf < nw)
                                 def _():
                                     sdma(jax.lax.rem(wf, jnp.int32(2)),
                                          off0 + wf * SHW).wait()
+
+                            def backward(wlo):
+                                """-d member scan (antipodal sweeps): windows
+                                from the cell's far end (ascending near-depth
+                                keys) down to the first window the forward
+                                scan folded.  Every window folds exactly once
+                                across both scans (the peel branch's
+                                multiplicative attenuation requires it).
+                                Exit: remaining near keys are bounded below
+                                by (this window's max far key) - 2*rmax; once
+                                that clears the deepest unblocked -d ray, no
+                                remaining record can occlude."""
+                                ceil0 = ceil_for(incell)
+                                w0 = nw - 1
+
+                                @pl.when((w0 >= wlo) & (ceil0 > -BIG_DEPTH))
+                                def _():
+                                    sdma(jax.lax.rem(w0, jnp.int32(2)),
+                                         off0 + w0 * SHW).start()
+
+                                    def bcond(wc):
+                                        w, kf, ceil = wc
+                                        return (w >= wlo) & (
+                                            kf - two_rmax < ceil
+                                        )
+
+                                    def bbody(wc):
+                                        w, kf, ceil = wc
+                                        slot2 = jax.lax.rem(w, jnp.int32(2))
+                                        nxt2 = jax.lax.rem(
+                                            w + jnp.int32(1), jnp.int32(2)
+                                        )
+
+                                        @pl.when(w - 1 >= wlo)
+                                        def _():
+                                            sdma(nxt2,
+                                                 off0 + (w - 1) * SHW).start()
+
+                                        sdma(slot2, off0 + w * SHW).wait()
+                                        occl_update(sbuf[slot2], incell)
+                                        kf2 = sbuf[slot2][4, 0]
+                                        return w - 1, kf2, (
+                                            ceil_for(incell) if FLOOR_REFRESH
+                                            else ceil
+                                        )
+
+                                    wb, _, _ = jax.lax.while_loop(
+                                        bcond, bbody, (w0, f32(-BIG), ceil0)
+                                    )
+
+                                    @pl.when(wb >= wlo)
+                                    def _():
+                                        sdma(jax.lax.rem(wb, jnp.int32(2)),
+                                             off0 + wb * SHW).wait()
 
                             if prefetched is not None:
                                 # window 0 already in flight to
@@ -946,8 +1058,18 @@ def _mega_kernel(
                                          floor_for(incell)),
                                     )
                                     drain(wf)
+                                    if anti:
+                                        backward(wf)
                             else:
-                                @pl.when((cnt > 0) & (mintau0 < BIG_DEPTH))
+                                gate = (cnt > 0) & (mintau0 < BIG_DEPTH)
+                                if anti:
+                                    # -d-only cells must still scan
+                                    gate = (cnt > 0) & (
+                                        (mintau0 < BIG_DEPTH)
+                                        | (ceil_for(incell) > -BIG_DEPTH)
+                                    )
+
+                                @pl.when(gate)
                                 def _():
                                     sdma(0, off0).start()
                                     wf, _, _ = jax.lax.while_loop(
@@ -955,6 +1077,8 @@ def _mega_kernel(
                                         (jnp.int32(0), f32(BIG), mintau0),
                                     )
                                     drain(wf)
+                                    if anti:
+                                        backward(wf)
 
                             return 0
 
@@ -1008,8 +1132,11 @@ def _mega_kernel(
                             hit_tile = (
                                 galive
                                 & (dxs * dxs + dys * dys <= lim * lim)
-                                & (gkey > taumin_t + eps)
                             )
+                            if not anti:
+                                # one-sided depth cull only valid when every
+                                # ray tests the same (+d) direction
+                                hit_tile = hit_tile & (gkey > taumin_t + eps)
                             any_occ = jnp.max(jnp.where(hit_tile, 1.0, 0.0))
 
                             @pl.when((any_occ > 0.0) & (mxgx >= 0.0))
@@ -1066,6 +1193,26 @@ def _mega_kernel(
                                     & (tr0 > eps) & (rho2 <= rad * rad)
                                 )
                                 occ_cr = occ_c | occ_r
+                                if anti:
+                                    # -d member: flipping the direction maps
+                                    # (t1, t2, s1, s2) -> (-t2, -t1, s2, s1)
+                                    # and tr0 -> -tr0 with identical lateral
+                                    # terms; each ray selects its member
+                                    occ_c_m = live_c & (
+                                        ((-t2 > eps) & (s2 >= 0.0)
+                                         & (s2 <= alen))
+                                        | ((-t1 > eps) & (s1 >= 0.0)
+                                           & (s1 <= alen))
+                                    )
+                                    occ_r_m = (
+                                        hit_tile & (typ == 2.0)
+                                        & (jnp.abs(dn) > 1e-12)
+                                        & (-tr0 > eps) & (rho2 <= rad * rad)
+                                    )
+                                    sgn_pos = sgn_s > 0.0
+                                    occ_cr = jnp.where(
+                                        sgn_pos, occ_cr, occ_c_m | occ_r_m
+                                    )
                                 if n_peel > 1:
                                     # (1 - alpha) per transparent blocker;
                                     # near-opaque blocks fully (api.c:918)
@@ -1098,22 +1245,38 @@ def _mega_kernel(
                         nz_all = state[pl.ds(_NZ, 1), :]
                         miss_all = state[pl.ds(_MISS, 1), :]
                         inten = nx_all * lx + ny_all * ly + nz_all * lz
+                        inten_g2 = jnp.abs(inten) if anti else inten
                         lit_all = jnp.where(
-                            (inten > MINCONTRIB) & (miss_all < 0.5),
+                            (inten_g2 > MINCONTRIB) & (miss_all < 0.5),
                             f32(1.0), f32(0.0),
                         )
                     # per-light diffuse accumulation (full width, all samples)
                     if shadows and debug_phases >= 5:
                         if C == SP:
                             filt = 1.0 - blocked[pl.ds(0, 1), :]
+                        elif anti:
+                            # shared-AO occlusion was evaluated for sample
+                            # 0's member only; a sample lit by the OTHER
+                            # member (silhouette pixels where AA normals
+                            # straddle the surface) must stay unshadowed —
+                            # exactly what separate ±d lights would do
+                            b0 = blocked[pl.ds(0, 1), pl.ds(0, P)]
+                            bs = jnp.concatenate([b0 * sgn_s] * S, axis=1)
+                            filt = 1.0 - jnp.where(
+                                inten * bs > 0.0, jnp.abs(bs), f32(0.0)
+                            )
                         else:
                             b0 = blocked[pl.ds(0, 1), pl.ds(0, P)]
                             filt = 1.0 - jnp.concatenate([b0] * S, axis=1)
                     else:
                         filt = f32(1.0)
+                    # antipodal entries accumulate the lit member's |n.d|
+                    # (exactly the sum the two separate ±d lights would add,
+                    # since at most one member is lit per ray)
                     state[pl.ds(_SH, 1), :] = (
                         state[pl.ds(_SH, 1), :]
-                        + lit_all * inten * lightcol * filt
+                        + lit_all * (jnp.abs(inten) if anti else inten)
+                        * lightcol * filt
                     )
 
 
@@ -1627,7 +1790,7 @@ def _mega_kernel(
         "S", "width", "height", "tiles_x", "tiles_y", "grid_n",
         "eps", "perspective", "shadows", "interpret", "debug_phases",
         "quantized", "n_occ", "ao_shared", "n_peel", "tile_px",
-        "merged_sweep",
+        "merged_sweep", "ao_antipodal",
     ),
 )
 def render_image_mega(
@@ -1659,6 +1822,7 @@ def render_image_mega(
     n_peel: int = 1,     # transparency-peeling budget (1 = opaque fast path)
     tile_px: int = TILE_PX,
     merged_sweep: bool = False,
+    ao_antipodal: bool = False,
 ):
     """Full-frame fused render.
 
@@ -1668,6 +1832,14 @@ def render_image_mega(
     share the traversal across AO directions).  Each entry carries the
     light's packed scalars (see ``pack_light_row``), its CSR shadow records,
     and (cyl/ring scenes) its light-space occluder table.
+
+    ``ao_antipodal=True`` declares every extra light an antipodal PAIR of
+    sky directions (+d and -d): the -d member reuses +d's light-space CSR
+    (its lateral records are sign-exact mirrors) and rides the same cell
+    sweep with a per-ray direction sign — at most one member is lit per
+    surface point, so one ``blocked`` row serves both.  Halves the AO sweep
+    count AND the AO accel build.  The entry's lparams row must carry the
+    scene's max primitive radius in slot 13 (backward-scan exit bound).
 
     Returns (height, width, 3) float RGB, or uint8 when ``quantized`` (the
     on-device serving path — keeps the host transfer at 3 bytes/pixel)."""
@@ -1740,6 +1912,10 @@ def render_image_mega(
     )
 
     _msw = merged_sweep and n_peel == 1
+    if ao_antipodal and _msw:
+        raise NotImplementedError(
+            "ao_antipodal is not supported with merged_sweep"
+        )
     kernel = functools.partial(
         _mega_kernel,
         S=S, nchunks=nchunks, CH=CH, nb=nb, nbp=nbp, tiles_x=tiles_x,
@@ -1747,7 +1923,7 @@ def render_image_mega(
         other=other, n_occ=(n_occ if shadows else 0), ZC=ZC,
         L=L, ncells_l=ncells_l, debug_phases=debug_phases,
         ao_shared=ao_shared, n_peel=n_peel, tile_px=tile_px,
-        merged_sweep=merged_sweep,
+        merged_sweep=merged_sweep, antipodal=ao_antipodal,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -1837,6 +2013,7 @@ def render_image_mega_banded(
     perspective: bool, shadows: bool, interpret: bool = False,
     quantized: bool = False, extra_lights=None, ao_shared: bool = False,
     n_peel: int = 1, max_band_bytes: int = 2 << 30,
+    ao_antipodal: bool = False,
 ):
     """Sequential tile-row-band driver for scenes whose materialized
     candidate records exceed the HBM budget (a 10M-atom 1080p frustum
@@ -1883,6 +2060,7 @@ def render_image_mega_banded(
             perspective=perspective, shadows=shadows, interpret=interpret,
             quantized=quantized, extra_lights=extra_lights,
             ao_shared=ao_shared, n_peel=n_peel, tile_px=TILE_PX,
+            ao_antipodal=ao_antipodal,
         ))
     img = jnp.concatenate(imgs, axis=0)
     pad_top = tiles_y * TILE_PX - height

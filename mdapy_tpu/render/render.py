@@ -245,23 +245,28 @@ class TachyonRender:
         # stride sample.  Any physical update (atoms move every frame in MD)
         # perturbs the sample; a partial in-place edit that misses every
         # sampled element is the (accepted, documented) cache hazard.
-        # identity fast path: same array objects + same view params ->
-        # same cache key with zero hashing (the cache holds references, so
+        # identity fast path: same array objects + same geometry params ->
+        # same scene key with zero hashing (the cache holds references, so
         # ids stay valid; in-place mutation of a cached buffer is the same
-        # documented hazard as the sampled hash below)
-        view_key = repr((camera.__dict__, bond_radius, box_edge_radius,
-                         box_color, width, height, dtype))
+        # documented hazard as the sampled hash below).
+        # KEY SPLIT (orbit/animation workloads): scene_key covers geometry
+        # only; view_key covers camera + raster size.  Camera motion then
+        # reuses everything scene-keyed — the device scene buffers and the
+        # (world-space) AO light structures — and rebuilds only the
+        # camera-dependent screen bins / primary-light bins / records.
+        view_key = repr((camera.__dict__, width, height))
+        geom_key = repr((bond_radius, box_edge_radius, box_color, dtype))
         id_key = (
             tuple(id(a) for a in (positions, colors, radii,
                                   bond_edges, bond_colors, box_edges)),
-            view_key,
+            geom_key,
         )
         if getattr(self, "_id_key", None) == id_key:
-            cache_key = self._scene_key
+            scene_key = self._scene_hash
             self._id_refs = (positions, colors, radii,
                              bond_edges, bond_colors, box_edges)
         else:
-            cache_key = None
+            scene_key = None
 
         import hashlib
 
@@ -273,21 +278,23 @@ class TachyonRender:
             h.update(np.ascontiguousarray(b[::stride]))
             h.update(str(a.shape).encode())
 
-        if cache_key is None:
+        if scene_key is None:
             h = hashlib.sha1()
             for a in (positions, colors, radii):
                 _update(h, a)
             for a in (bond_edges, bond_colors, box_edges):
                 if a is not None:
                     _update(h, np.ascontiguousarray(a))
-            h.update(view_key.encode())
-            cache_key = h.hexdigest()
+            h.update(geom_key.encode())
+            scene_key = h.hexdigest()
             self._id_key = id_key
             self._id_refs = (positions, colors, radii,
                              bond_edges, bond_colors, box_edges)
+        self._scene_hash = scene_key
+        cache_key = (scene_key, view_key)
 
         _t0 = _mark("prepare", _t0)
-        if getattr(self, "_scene_key", None) == cache_key:
+        if getattr(self, "_scene_key", None) == scene_key:
             scene = self._scene_cache
         else:
             scene = build_scene(
@@ -303,12 +310,15 @@ class TachyonRender:
         frame = camera_frame(camera, width, height)
         devices = jax.devices("cpu") if self._backend == "cpu" else jax.devices()
         with jax.default_device(devices[0]):
-            if self._scene_key != cache_key:
+            if self._scene_key != scene_key:
                 scene = jax.tree.map(
                     lambda a: jax.device_put(np.asarray(a, dtype)), scene
                 )
                 self._scene_cache = scene
-                self._scene_key = cache_key
+                self._scene_key = scene_key
+                # live-primitive counts force a host sync of device radii —
+                # compute once per scene (static control flow needs them)
+                self._scene_nlive = None
             _t0 = _mark("scene_build", _t0)
             # AO mode: "exact" = brute per-sample jittered hemisphere (the
             # reference's estimator; O(rays x primitives), small scenes);
@@ -338,6 +348,13 @@ class TachyonRender:
                 if getattr(self, "_accel_key", None) == cache_key:
                     bins, lb, self._chunk_data_cached = self._accel_cache
                 else:
+                    if getattr(self, "_scene_nlive", None) is None:
+                        from .accel import scene_live_counts
+
+                        self._scene_nlive = scene_live_counts(scene)
+                    nlive = self._scene_nlive
+                    if not hasattr(self, "_cap_cache"):
+                        self._cap_cache = {}
                     # measured: 32px tiles do NOT beat 16px (the trace is
                     # bound by per-chunk costs, which track total candidate
                     # volume, not tile count) — 16 stays the default; the
@@ -353,7 +370,8 @@ class TachyonRender:
                         )
                         _tpx = 16
                     bins = build_screen_bins(
-                        scene, frame, int(width), int(height), tile_px=_tpx)
+                        scene, frame, int(width), int(height), tile_px=_tpx,
+                        nlive=nlive, cap_cache=self._cap_cache)
                     # grid=32: measured sweet spot for the megakernel's
                     # cell-rect iteration on the 1M-atom 1080p bench
                     # (sweep: 16->76.7ms, 24->54.0, 32->54.4, 48->58.9,
@@ -363,7 +381,8 @@ class TachyonRender:
 
                     _lg = int(_os.environ.get("MDAPY_TPU_LIGHT_GRID", "32"))
                     lb = build_light_bins(
-                        scene, frame["light_dir"].astype(dtype), grid=_lg
+                        scene, frame["light_dir"].astype(dtype), grid=_lg,
+                        nlive=nlive, cap_cache=self._cap_cache,
                     )
                     self._chunk_data_cached = None
                     self._accel_cache = (bins, lb, None)
@@ -386,9 +405,12 @@ class TachyonRender:
                 # scenes keep the banded path)
                 n_cylring = 0
                 if not sphere_only:
-                    n_cylring = int(np.sum(np.asarray(scene.cyl_radius) > 0)) + int(
-                        np.sum(np.asarray(scene.ring_rout) > 0)
-                    )
+                    nl = getattr(self, "_scene_nlive", None)
+                    if nl is None:
+                        from .accel import scene_live_counts
+
+                        nl = self._scene_nlive = scene_live_counts(scene)
+                    n_cylring = nl["cyl"] + nl["ring"]
                 # fast-AO passes run the megakernel with shadow rays on
                 # regardless of cfg.shadows_enabled, so the occluder bound
                 # must cover the AO case too
@@ -466,7 +488,9 @@ class TachyonRender:
                                 scene.sph_radius, scene.sph_color,
                             )
                         light_records = (
-                            build_light_records(lb, scene)
+                            build_light_records(
+                                lb, scene,
+                                cap_cache=getattr(self, "_cap_cache", None))
                             if cfg.shadows_enabled else (None, None, None)
                         )
                         other_rec = gather_other_records(bins, scene, lb)
@@ -512,19 +536,36 @@ class TachyonRender:
                         )
 
                     ao_passes = None
+                    # merged-sweep experiments exclude the antipodal path
+                    ao_antipodal = (
+                        os.environ.get("MDAPY_TPU_AO_ANTIPODAL", "1") != "0"
+                        and os.environ.get(
+                            "MDAPY_TPU_MERGED_SWEEP", "0") != "1"
+                    )
                     if ao_fast:
                         # K antipodal stratified sky directions; each is one
                         # directional-occlusion pass through the megakernel
                         # (AO term = (2/S) sum vis*|N.d|*skycol decomposes
-                        # into per-direction light passes with ambient=0)
-                        if getattr(self, "_ao_cache_key", None) == cache_key:
+                        # into per-direction light passes with ambient=0).
+                        # In antipodal mode each +d entry also carries its -d
+                        # twin through the SAME sweep (per-ray sign select in
+                        # the kernel): K/2 accel builds, K/2 sweeps, same
+                        # quadrature bit-for-bit.
+                        # Scene-keyed: sky directions and their light-space
+                        # CSR structures are world-space — camera orbits
+                        # reuse them wholesale.
+                        ao_ckey = (scene_key, ao_antipodal)
+                        if getattr(self, "_ao_cache_key", None) == ao_ckey:
                             ao_passes = self._ao_cache
                         else:
                             import jax.numpy as jnp
 
                             K2 = max(1, int(cfg.ao_samples) // 2)
                             hemi = _fib_hemisphere(K2)
-                            dirs = np.concatenate([hemi, -hemi], axis=0)
+                            dirs = (
+                                hemi if ao_antipodal
+                                else np.concatenate([hemi, -hemi], axis=0)
+                            )
                             lightcol_k = (4.0 / (2 * K2)) * float(
                                 cfg.ao_brightness
                             )
@@ -533,9 +574,16 @@ class TachyonRender:
                             ao_passes = []
                             for dk in dirs:
                                 lb_k = build_light_bins(
-                                    scene, jnp.asarray(dk, dtype), grid=lb.grid
+                                    scene, jnp.asarray(dk, dtype),
+                                    grid=lb.grid,
+                                    nlive=self._scene_nlive,
+                                    cap_cache=getattr(self, "_cap_cache",
+                                                      None),
                                 )
-                                lr_k = build_light_records(lb_k, scene)
+                                lr_k = build_light_records(
+                                    lb_k, scene,
+                                    cap_cache=getattr(self, "_cap_cache",
+                                                      None))
                                 or_k = gather_other_records(bins, scene, lb_k)
                                 frame_k = dict(frame)
                                 frame_k["light_dir"] = np.asarray(dk, np.float32)
@@ -545,7 +593,7 @@ class TachyonRender:
                                 p_k[38] = 0.0      # ambient counted once (direct)
                                 ao_passes.append((lr_k, or_k, p_k))
                             self._ao_cache = ao_passes
-                            self._ao_cache_key = cache_key
+                            self._ao_cache_key = ao_ckey
                             _t0 = _mark("ao_accel_build", _t0)
 
                     # fast-AO sky directions fold into the SAME launch as
@@ -556,11 +604,15 @@ class TachyonRender:
                     lr0 = light_records
                     if ao_passes is not None:
                         extra_lights = []
+                        rmax_s = float(radii.max()) if len(radii) else 0.0
                         for lr_k, or_k, p_k in ao_passes:
                             lrow = np.concatenate([
                                 p_k[15:18], p_k[18:24], p_k[24:27],
                                 p_k[27:28], np.zeros(3, np.float32),
-                            ])
+                            ]).astype(np.float32)
+                            # slot 13: max sphere radius — the antipodal
+                            # backward scan's early-exit bound
+                            lrow[13] = rmax_s
                             occ_k = or_k[2] if or_k is not None else None
                             extra_lights.append(
                                 (lrow, lr_k[0], lr_k[1], lr_k[2], occ_k)
@@ -580,6 +632,9 @@ class TachyonRender:
                         and os.environ.get("MDAPY_TPU_AO_SHARED", "1") != "0"
                     )
                     _peel = cfg.max_trans if cfg.transparency else 1
+                    _msw_env = os.environ.get(
+                        "MDAPY_TPU_MERGED_SWEEP", "0") == "1"
+                    _anti = ao_antipodal and extra_lights is not None
                     if chunk_data is None:
                         img_f = render_image_mega_banded(
                             scene, bins,
@@ -594,6 +649,7 @@ class TachyonRender:
                             extra_lights=extra_lights,
                             ao_shared=_ao_shared, n_peel=_peel,
                             max_band_bytes=_budget,
+                            ao_antipodal=_anti,
                         )
                     else:
                         img_f = render_image_mega(
@@ -611,8 +667,8 @@ class TachyonRender:
                             ao_shared=_ao_shared,
                             n_peel=_peel,
                             tile_px=bins.tile_px,
-                            merged_sweep=os.environ.get(
-                                "MDAPY_TPU_MERGED_SWEEP", "0") == "1",
+                            merged_sweep=_msw_env,
+                            ao_antipodal=_anti,
                             **other_kw,
                         )
                     if device_output:

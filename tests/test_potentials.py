@@ -214,9 +214,15 @@ def test_eam_mxu_lookup_matches_gather_path():
     )
     e_g, f_g, v_g = _eam_force_fast(*args, False)
     e_m, f_m, v_m = _eam_force_fast(*args, True)
-    np.testing.assert_allclose(np.asarray(e_m), np.asarray(e_g), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(f_m), np.asarray(f_g), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_g), atol=1e-10)
+    # the MXU path reconstructs each f32 node value from three bf16 pieces
+    # (error ~2^-27 relative per value, i.e. at the f32 roundoff floor), so
+    # the two paths agree to f32-accumulation precision, not bitwise
+    np.testing.assert_allclose(np.asarray(e_m), np.asarray(e_g),
+                               rtol=2e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_m), np.asarray(f_g),
+                               rtol=2e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_g),
+                               rtol=2e-6, atol=1e-6)
 
 
 def test_eam_average_and_setfl_roundtrip(tmp_path):
