@@ -291,10 +291,6 @@ class NEP(CalculatorMP):
 
         types_c, consts = self._compact_tables(types)
         rev_d, bad = reverse_permutation_device(verlet_d)
-        if int(bad):  # pragma: no cover - guarded by the build contract
-            raise RuntimeError(
-                "asymmetric neighbor list in NEP force evaluation"
-            )
         e, F, V, dEdeps = _nep_force_fast(
             pos_d, jnp.asarray(types_c), verlet_d,
             rev_d, jnp.asarray(box.matrix, pos_d.dtype),
@@ -303,6 +299,12 @@ class NEP(CalculatorMP):
             *consts, self._static(),
             _pick_block(pos_d.shape[0], verlet_d.shape[1]),
         )
+        # the blocking `bad` fetch (~30 ms tunnel roundtrip) rides under
+        # the force kernel's async device execution dispatched above
+        if int(bad):  # pragma: no cover - guarded by the build contract
+            raise RuntimeError(
+                "asymmetric neighbor list in NEP force evaluation"
+            )
         vol = abs(box.volume)
         # stress = (dE/deps)/V symmetrized, Voigt [xx,yy,zz,yz,xz,xy];
         # results stay device-resident (CalculatorMP._fetch materializes)

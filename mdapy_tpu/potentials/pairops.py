@@ -69,39 +69,56 @@ def reverse_permutation(verlet: np.ndarray) -> np.ndarray:
 
 
 def reverse_permutation_device(verlet, block: int = 1024):
-    """Device-resident rev[i, m] (see reverse_permutation) — chunked
-    row-gather + dense compare, no host transfer of the (N, M) list.
+    """Device-resident rev[i, m] (see reverse_permutation) — sort-rank
+    pairing, no row gathers, no host transfer of the (N, M) list.
 
-    Returns (rev (N, M) int32, bad scalar int32) — `bad` counts valid pairs
-    with no reverse entry (0 for any symmetric list).
+    Sort every pair slot by its forward key (i*N + j) and, independently,
+    by its reverse key (j*N + i).  A symmetric list makes the two key
+    multisets identical, so equal sorted RANKS are exactly reverse-pair
+    partners: the slot at rank r of the reverse-key order has its reverse
+    pair at rank r of the forward-key order.  Two argsorts + one scatter
+    replace the previous per-pair (M x M) row-gather/compare, which cost
+    O(N*M^2) VPU work (~1.1 s of the NEP force call at 256k atoms — the
+    r4 NEP regression's dominant term).
+
+    Invalid (-1) slots get unique tail keys identical in both orders, so
+    they pair with themselves harmlessly.
+
+    Returns (rev (N, M) int32, bad scalar int32) — `bad` counts rank
+    positions whose forward/reverse keys mismatch (0 for any symmetric
+    list).
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
 
     n, M = verlet.shape
 
-    @functools.partial(jax.jit, static_argnames=("blk",))
-    def _run(verlet, blk):
-        npad = -(-n // blk) * blk
-        vp = jnp.pad(verlet, ((0, npad - n), (0, 0)), constant_values=-1)
+    @jax.jit
+    def _run(verlet):
+        flat = verlet.reshape(-1)
+        ok = flat >= 0
+        p = jnp.arange(n * M, dtype=jnp.int32)
+        i = p // jnp.int32(M)
+        # two-component lexicographic keys (multi-key lax.sort — i*N+j
+        # would need i64, which TPU x32 mode truncates).  Invalid slots get
+        # identical unique tail keys in both orders: major n (past every
+        # valid id), minor p.
+        imaj = jnp.where(ok, i, jnp.int32(n))
+        jmaj = jnp.where(ok, flat, jnp.int32(n))
+        imin = jnp.where(ok, i, p)
+        jmin = jnp.where(ok, flat, p)
+        mf, nf, of = jax.lax.sort((imaj, jmin, p), num_keys=2)
+        mr, nr, orr = jax.lax.sort((jmaj, imin, p), num_keys=2)
+        bad = jnp.sum(((mf != mr) | (nf != nr)).astype(jnp.int32))
+        # return rank-paired slots to original order with a third sort
+        # (a 30M-element scatter/gather would cost ~8 ns/element on the
+        # TPU scalar unit; sorts stay on the vector path)
+        _, revflat = jax.lax.sort(
+            (orr, of % jnp.int32(M)), num_keys=1
+        )
+        return jnp.where(ok, revflat, 0).reshape(n, M), bad
 
-        def do(start):
-            vb = jax.lax.dynamic_slice(vp, (start, 0), (blk, M))
-            jb = jnp.maximum(vb, 0)
-            rows = verlet[jb]  # (blk, M, M)
-            iidx = start + jnp.arange(blk, dtype=jnp.int32)
-            match = rows == iidx[:, None, None]
-            rev = jnp.argmax(match, axis=-1).astype(jnp.int32)
-            okb = vb >= 0
-            bad = jnp.sum(okb & ~jnp.any(match, axis=-1))
-            return jnp.where(okb, rev, 0), bad
-
-        revs, bads = jax.lax.map(do, jnp.arange(0, npad, blk))
-        return revs.reshape(npad, M)[:n], jnp.sum(bads)
-
-    return _run(verlet, block)
+    return _run(verlet)
 
 
 def pair_forces_virials(disp, J, verlet, rev, ok):

@@ -69,6 +69,11 @@ NBUF = 6         # tile-row DMA pipeline depth
 # the initial floor only (0: one fewer masked reduction + scalar sync per
 # window at the cost of possibly scanning deeper)
 FLOOR_REFRESH = os.environ.get("MDAPY_TPU_FLOOR_REFRESH", "1") != "0"
+# measurement-only: 0 skips every shadow cell scan (and the window-0
+# prefetch DMAs) while keeping the full per-light setup/projection work —
+# isolates sweep SETUP cost from scan cost.  Produces wrong (unshadowed)
+# images; never set in production.
+_SCAN_OFF = os.environ.get("MDAPY_TPU_SWEEP_SCAN", "1") == "0"
 
 __all__ = ["render_image_mega", "build_mega_params"]
 
@@ -166,7 +171,7 @@ def _mega_kernel(
     state,        # (16, S*P) VMEM scratch — ray-attribute rows
     recs,         # (16, S*P) VMEM scratch — best-hit records
     blocked,      # (1, S*P) VMEM scratch — shadow occlusion flags
-    sbuf,         # (2, 8, SHW) VMEM scratch — shadow window double buffer
+    sbuf,         # (4, 8, SHW) VMEM scratch — shadow window pipeline
     psbuf,        # (L, PREF_C, 8, SHW) VMEM scratch — prefetched windows
     lrows,        # (L*8, S*P) VMEM scratch — per-light ray rows (see below)
     gstate,       # (12, G*S*P) VMEM scratch — group surface rows (merged mode)
@@ -176,7 +181,7 @@ def _mega_kernel(
     lmeta,        # (L*8,) SMEM f32 scratch — per-light prefetch metadata
     rsem,         # (NBUF,) DMA semaphores (tile rows)
     osem,         # (2,) DMA semaphores (cyl/ring rows)
-    ssem,         # (2,) DMA semaphores (shadow windows)
+    ssem,         # (4,) DMA semaphores (shadow windows)
     psem,         # (L,) DMA semaphores (light prefetch)
     *,
     S: int,
@@ -200,8 +205,14 @@ def _mega_kernel(
     tile_px: int = TILE_PX,
     merged_sweep: bool = False,
     antipodal: bool = False,
+    peel1: bool = False,
 ):
     G = TILE_GROUP
+    # alpha-compositing machinery: on for multi-peel AND for the budget-1
+    # transparency mode (one peel, residual weight sees the background —
+    # the reference's transcnt=1 semantics; previously such scenes fell off
+    # to the brute exact tracer)
+    peel_on = n_peel > 1 or peel1
     TILE_PX = tile_px         # shadow the module defaults: the kernel is
     P = tile_px * tile_px     # parametric over the screen-tile edge now
     SP = S * P
@@ -213,7 +224,7 @@ def _mega_kernel(
     # strip spans a wide light-space rect, so every union cell's windows
     # pay the full 8x-wide compute for rays that mostly aren't in that
     # cell) — kept behind a flag for square-group experiments.
-    merged = n_peel == 1 and merged_sweep
+    merged = n_peel == 1 and merged_sweep and not peel1
     group = pl.program_id(0)
     f32 = jnp.float32
 
@@ -602,7 +613,7 @@ def _mega_kernel(
                     cr = recs[pl.ds(4, 1), :]
                     cg = recs[pl.ds(5, 1), :]
                     cb = recs[pl.ds(6, 1), :]
-                    if n_peel > 1:
+                    if peel_on:
                         state[pl.ds(_ALPHA, 1), :] = recs[pl.ds(7, 1), :]
                     state[pl.ds(_CR, 1), :] = cr
                     state[pl.ds(_CG, 1), :] = cg
@@ -717,7 +728,7 @@ def _mega_kernel(
                         # window 0 of the rect's first PREF_C cells; the wait
                         # side recomputes the same (ci < ncell) & (cnt > 0)
                         # condition from the identical SMEM inputs
-                        for _pc in range(PREF_C):
+                        for _pc in range(PREF_C if not _SCAN_OFF else 0):
                             pdxc = jax.lax.rem(jnp.int32(_pc),
                                                jnp.maximum(pnxc, 1))
                             pdyc = jnp.int32(_pc) // jnp.maximum(pnxc, 1)
@@ -882,7 +893,7 @@ def _mega_kernel(
                                 (s2 > 0.0) & srlive
                                 & ((q < 0.0) | (s2 > q * q))
                             )
-                            if n_peel > 1:
+                            if peel_on:
                                 # transparency-filtered shadows: each occluder
                                 # multiplies by (1 - alpha); near-opaque
                                 # (>= 0.99999, api.c:918) blocks fully.
@@ -912,7 +923,7 @@ def _mega_kernel(
                             return srec[4, SHW - 1]
 
                         def floor_for(incell):
-                            thr = 0.999 if n_peel > 1 else 0.5
+                            thr = 0.999 if peel_on else 0.5
                             selm = incell & (
                                 blocked[pl.ds(0, 1), pl.ds(0, C)] < thr
                             )
@@ -926,7 +937,7 @@ def _mega_kernel(
                         def ceil_for(incell):
                             """Deepest unblocked -d ray (backward-scan
                             early-exit bound, antipodal sweeps only)."""
-                            thr = 0.999 if n_peel > 1 else 0.5
+                            thr = 0.999 if peel_on else 0.5
                             selm = incell & (
                                 blocked[pl.ds(0, 1), pl.ds(0, C)] < thr
                             ) & (sgn_s < 0.0)
@@ -941,7 +952,8 @@ def _mega_kernel(
                             cgx = (cx0 + dxc).astype(f32)
                             cgy = (cy0 + dyc).astype(f32)
                             cell = jnp.clip(
-                                (cy0 + dyc) * grid_n + (cx0 + dxc), 0, grid_n * grid_n - 1
+                                (cy0 + dyc) * grid_n + (cx0 + dxc),
+                                0, grid_n * grid_n - 1,
                             )
                             off0 = loffs_ref[_l * ncells_l + cell]
                             cnt = lcnt_ref[_l * ncells_l + cell]
@@ -957,7 +969,8 @@ def _mega_kernel(
                             def wbody(wc):
                                 w, kmax, mintau = wc
                                 slot2 = jax.lax.rem(w, jnp.int32(2))
-                                nxt2 = jax.lax.rem(w + jnp.int32(1), jnp.int32(2))
+                                nxt2 = jax.lax.rem(w + jnp.int32(1),
+                                                   jnp.int32(2))
 
                                 @pl.when(w + 1 < nw)
                                 def _():
@@ -970,11 +983,25 @@ def _mega_kernel(
                                     else mintau
                                 )
 
-                            def drain(wf):
+                            def run_forward(kmax0):
+                                """Double-buffered window scan from w=1
+                                (window 0 already folded by the caller)."""
+                                @pl.when(nw > 1)
+                                def _():
+                                    sdma(1, off0 + SHW).start()
+
+                                wf, _, _ = jax.lax.while_loop(
+                                    wcond, wbody,
+                                    (jnp.int32(1), kmax0,
+                                     floor_for(incell)),
+                                )
+
                                 @pl.when(wf < nw)
                                 def _():
                                     sdma(jax.lax.rem(wf, jnp.int32(2)),
                                          off0 + wf * SHW).wait()
+
+                                return wf
 
                             def backward(wlo):
                                 """-d member scan (antipodal sweeps): windows
@@ -1036,10 +1063,6 @@ def _mega_kernel(
                                 # exactly when the prefetch start did
                                 @pl.when((ci < ncell) & (cnt > 0))
                                 def _(pc_=prefetched):
-                                    @pl.when(nw > 1)
-                                    def _():
-                                        sdma(1, off0 + SHW).start()
-
                                     pltpu.make_async_copy(
                                         ldata_hbm.at[
                                             _l, :,
@@ -1052,14 +1075,9 @@ def _mega_kernel(
                                     kmax0 = occl_update(
                                         psbuf[_l, pc_], incell
                                     )
-                                    wf, _, _ = jax.lax.while_loop(
-                                        wcond, wbody,
-                                        (jnp.int32(1), kmax0,
-                                         floor_for(incell)),
-                                    )
-                                    drain(wf)
+                                    wf = run_forward(kmax0)
                                     if anti:
-                                        backward(wf)
+                                        backward(jnp.maximum(wf, 1))
                             else:
                                 gate = (cnt > 0) & (mintau0 < BIG_DEPTH)
                                 if anti:
@@ -1072,17 +1090,17 @@ def _mega_kernel(
                                 @pl.when(gate)
                                 def _():
                                     sdma(0, off0).start()
-                                    wf, _, _ = jax.lax.while_loop(
-                                        wcond, wbody,
-                                        (jnp.int32(0), f32(BIG), mintau0),
-                                    )
-                                    drain(wf)
+                                    sdma(0, off0).wait()
+                                    kmax0 = occl_update(sbuf[0], incell)
+                                    wf = run_forward(kmax0)
                                     if anti:
-                                        backward(wf)
+                                        backward(jnp.maximum(wf, 1))
 
                             return 0
 
-                        if prefetch_on:
+                        if _SCAN_OFF:
+                            pass  # measurement mode: setup only, no scans
+                        elif prefetch_on:
                             for _pc in range(PREF_C):
                                 sweep_cell(jnp.int32(_pc), _pc)
                             jax.lax.fori_loop(
@@ -1213,7 +1231,7 @@ def _mega_kernel(
                                     occ_cr = jnp.where(
                                         sgn_pos, occ_cr, occ_c_m | occ_r_m
                                     )
-                                if n_peel > 1:
+                                if peel_on:
                                     # (1 - alpha) per transparent blocker;
                                     # near-opaque blocks fully (api.c:918)
                                     oal = occT[:, 15:16]
@@ -1280,14 +1298,15 @@ def _mega_kernel(
                     )
 
 
-                if n_peel > 1:
+                if peel_on:
                     missed = state[pl.ds(_MISS, 1), :] > 0.5
                     tsafe = jnp.where(
                         missed, f32(0.0), state[pl.ds(_BT, 1), :]
                     )
-                    state[pl.ds(_CUMT, 1), :] = (
-                        state[pl.ds(_CUMT, 1), :] + tsafe + eps
-                    )
+                    if n_peel > 1:
+                        state[pl.ds(_CUMT, 1), :] = (
+                            state[pl.ds(_CUMT, 1), :] + tsafe + eps
+                        )
                     shade = 0.8 * state[pl.ds(_SH, 1), :] + ambient
                     cr = jnp.where(missed, bgr, state[pl.ds(_CR, 1), :] * shade)
                     cg = jnp.where(missed, bgg, state[pl.ds(_CG, 1), :] * shade)
@@ -1299,7 +1318,7 @@ def _mega_kernel(
                     state[pl.ds(_AB, 1), :] = state[pl.ds(_AB, 1), :] + w * a * cb
                     state[pl.ds(_WT, 1), :] = w * (1.0 - a)
 
-            if n_peel > 1:
+            if peel_on:
                 state[pl.ds(_WT, 1), :] = jnp.ones((1, SP), f32)
                 for _rr in (_AR, _AG, _AB):
                     state[pl.ds(_rr, 1), :] = jnp.zeros((1, SP), f32)
@@ -1332,7 +1351,7 @@ def _mega_kernel(
             # ---- final shade + AA mean --------------------------------------
             def accum(s, acc):
                 ar, ag, ab = acc
-                if n_peel > 1:
+                if peel_on:
                     # peeled accumulators + residual weight seeing background
                     w = srow(_WT, s)
                     return (ar + srow(_AR, s) + w * bgr,
@@ -1790,7 +1809,7 @@ def _mega_kernel(
         "S", "width", "height", "tiles_x", "tiles_y", "grid_n",
         "eps", "perspective", "shadows", "interpret", "debug_phases",
         "quantized", "n_occ", "ao_shared", "n_peel", "tile_px",
-        "merged_sweep", "ao_antipodal",
+        "merged_sweep", "ao_antipodal", "peel1",
     ),
 )
 def render_image_mega(
@@ -1823,6 +1842,7 @@ def render_image_mega(
     tile_px: int = TILE_PX,
     merged_sweep: bool = False,
     ao_antipodal: bool = False,
+    peel1: bool = False,  # budget-1 transparency (alpha composite, 1 peel)
 ):
     """Full-frame fused render.
 
@@ -1911,7 +1931,7 @@ def render_image_mega(
         [jnp.pad(a, ((0, 0), (0, KG - a.shape[1]))) for a in occs]
     )
 
-    _msw = merged_sweep and n_peel == 1
+    _msw = merged_sweep and n_peel == 1 and not peel1
     if ao_antipodal and _msw:
         raise NotImplementedError(
             "ao_antipodal is not supported with merged_sweep"
@@ -1923,7 +1943,7 @@ def render_image_mega(
         other=other, n_occ=(n_occ if shadows else 0), ZC=ZC,
         L=L, ncells_l=ncells_l, debug_phases=debug_phases,
         ao_shared=ao_shared, n_peel=n_peel, tile_px=tile_px,
-        merged_sweep=merged_sweep, antipodal=ao_antipodal,
+        merged_sweep=merged_sweep, antipodal=ao_antipodal, peel1=peel1,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -1940,14 +1960,17 @@ def render_image_mega(
         scratch_shapes=[
             pltpu.VMEM((NBUF, nchunks, 8, CH), jnp.float32),
             pltpu.VMEM((2, 16, KO), jnp.float32),
-            pltpu.VMEM((20 if n_peel > 1 else 16, S * P), jnp.float32),
+            pltpu.VMEM(
+                (20 if (n_peel > 1 or peel1) else 16, S * P),
+                jnp.float32,
+            ),
             pltpu.VMEM((16 if other else 8, S * P), jnp.float32),
             # blocked spans the whole group in merged-sweep mode
             pltpu.VMEM(
                 (1, TILE_GROUP * S * P if _msw else S * P),
                 jnp.float32,
             ),
-            pltpu.VMEM((2, 8, SHW), jnp.float32),
+            pltpu.VMEM((4, 8, SHW), jnp.float32),
             pltpu.VMEM((L, PREF_C, 8, SHW), jnp.float32),
             # per-light ray rows only serve the per-tile path
             pltpu.VMEM(
@@ -1969,7 +1992,7 @@ def render_image_mega(
             pltpu.SMEM((L * 8,), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((L, PREF_C)),
         ],
     )
@@ -2013,7 +2036,7 @@ def render_image_mega_banded(
     perspective: bool, shadows: bool, interpret: bool = False,
     quantized: bool = False, extra_lights=None, ao_shared: bool = False,
     n_peel: int = 1, max_band_bytes: int = 2 << 30,
-    ao_antipodal: bool = False,
+    ao_antipodal: bool = False, peel1: bool = False,
 ):
     """Sequential tile-row-band driver for scenes whose materialized
     candidate records exceed the HBM budget (a 10M-atom 1080p frustum
@@ -2060,7 +2083,7 @@ def render_image_mega_banded(
             perspective=perspective, shadows=shadows, interpret=interpret,
             quantized=quantized, extra_lights=extra_lights,
             ao_shared=ao_shared, n_peel=n_peel, tile_px=TILE_PX,
-            ao_antipodal=ao_antipodal,
+            ao_antipodal=ao_antipodal, peel1=peel1,
         ))
     img = jnp.concatenate(imgs, axis=0)
     pad_top = tiles_y * TILE_PX - height

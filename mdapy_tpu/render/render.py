@@ -421,12 +421,10 @@ class TachyonRender:
                     and (sphere_only
                          or not (cfg.shadows_enabled or cfg.ao_enabled)
                          or n_cylring <= 8192)
-                    # transparency peeling runs in the megakernel (spheres
-                    # AND cyl/ring bond scenes); max_trans=1 configs use
-                    # the exact tracer (the n_peel=1 kernel is the opaque
-                    # fast path)
-                    and (not cfg.transparency or cfg.max_trans >= 2)
                 )
+                # transparency peeling runs in the megakernel (spheres AND
+                # cyl/ring bond scenes); budget-1 configs run the same
+                # kernel in peel1 mode (one alpha-composited peel)
                 if (cfg.ao_enabled or cfg.transparency) and not use_mega:
                     # fast AO needs the megakernel; other tiled paths don't
                     # do AO — brute exact path
@@ -632,6 +630,9 @@ class TachyonRender:
                         and os.environ.get("MDAPY_TPU_AO_SHARED", "1") != "0"
                     )
                     _peel = cfg.max_trans if cfg.transparency else 1
+                    _peel1 = bool(cfg.transparency and cfg.max_trans == 1)
+                    if _peel1:
+                        _peel = 1
                     _msw_env = os.environ.get(
                         "MDAPY_TPU_MERGED_SWEEP", "0") == "1"
                     _anti = ao_antipodal and extra_lights is not None
@@ -649,7 +650,7 @@ class TachyonRender:
                             extra_lights=extra_lights,
                             ao_shared=_ao_shared, n_peel=_peel,
                             max_band_bytes=_budget,
-                            ao_antipodal=_anti,
+                            ao_antipodal=_anti, peel1=_peel1,
                         )
                     else:
                         img_f = render_image_mega(
@@ -668,7 +669,7 @@ class TachyonRender:
                             n_peel=_peel,
                             tile_px=bins.tile_px,
                             merged_sweep=_msw_env,
-                            ao_antipodal=_anti,
+                            ao_antipodal=_anti, peel1=_peel1,
                             **other_kw,
                         )
                     if device_output:

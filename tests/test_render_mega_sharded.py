@@ -90,3 +90,35 @@ def test_mega_sharded_matches_single(H):
     d = np.abs(sharded - single)
     assert int((d.max(axis=2) > 1e-3).sum()) <= 4
     assert d.mean() < 1e-4
+
+
+@pytest.mark.slow
+def test_mega_sharded_compiles_on_real_device():
+    """VERDICT r4 item 6: the shard_map + Mosaic composition must COMPILE
+    and run on actual accelerator hardware, not only under interpret=True
+    on the CPU mesh — a 1-device mesh validates compile + numerics
+    cheaply."""
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("needs an accelerator device")
+    H = 128
+    pos, colors, radii = _fcc_scene()
+    cd, bins, lrec, params, cfg, persp = _mega_inputs(
+        pos, colors, radii, H, shadows=True
+    )
+    common = dict(
+        S=1, width=W, height=H, tiles_x=bins.tiles_x, tiles_y=bins.tiles_y,
+        grid_n=48, eps=cfg.eps, perspective=persp, shadows=True,
+        interpret=False,
+    )
+    single = np.asarray(render_image_mega(
+        cd, bins.sph_zmin, lrec[0], lrec[1], lrec[2], params, 0, **common
+    ))
+    mesh = make_mesh(1)
+    sharded = np.asarray(render_image_mega_sharded(
+        cd, bins.sph_zmin, lrec[0], lrec[1], lrec[2], params, 0,
+        mesh=mesh, **common
+    ))
+    assert sharded.shape == single.shape
+    d = np.abs(sharded - single)
+    assert int((d.max(axis=2) > 1e-3).sum()) <= 4
+    assert d.mean() < 1e-4
