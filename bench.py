@@ -404,7 +404,11 @@ def bench_config5():
         "config5_grays_per_s": round(rays / dt / 1e9, 3),
     }
     # camera-motion: every frame pays the banded record re-gather (~6.7 GB)
-    # — the honest animation cost (BASELINE target: <= 3 s/frame)
+    # — the honest animation cost (BASELINE target: <= 3 s/frame).  Record
+    # caching is pointless when every frame has a new camera, and two
+    # cached 6.7 GB record sets would transiently exceed HBM — force the
+    # bounded-peak banded path for the orbit.
+    os.environ["MDAPY_TPU_RECORD_CACHE_GB"] = "0"
     cams = orbit_cameras(cam, pos.mean(axis=0), 4)
     for c in cams[:1]:  # warm: compile + capacity high-water for new K
         o = ren.render(pos, colors, radii, camera=c, width=W, height=H,
@@ -420,6 +424,7 @@ def bench_config5():
     out["config5_orbit_s_per_frame"] = round(
         (time.time() - t0) / len(cams), 2
     )
+    os.environ.pop("MDAPY_TPU_RECORD_CACHE_GB", None)
     return out
 
 

@@ -70,38 +70,20 @@ class CalculatorMP(ABC):
         """Fill self.results with energies/forces/virials/stress."""
 
     def _fetch(self, key) -> np.ndarray:
-        """Materialize a result on the host (and cache the numpy copy).
+        """Materialize ALL device-resident results on the host on first
+        access (and cache the numpy copies).
 
-        Calculators may stage results as device arrays; the host copy is
-        produced on first access so device-resident pipelines (minimizer
-        steps, bench loops) never pay the device->host transfer.  The first
-        host access packs EVERY device-resident result into one flat buffer
-        and transfers once — separate fetches each pay the full link
-        round-trip (the tunneled TPU adds ~30 ms per transfer, and even on
-        PCIe one large copy beats several small ones)."""
+        Calculators stage results as device arrays; device-resident
+        pipelines (minimizer steps, bench loops) never pay the transfer.
+        Everything materializes together so later get_* calls are free.
+        MEASURED: packing into one concatenated buffer first is ~5x SLOWER
+        on this backend than per-array copies (device relayout + a single
+        large transfer lose to three direct ones) — keep per-array."""
         v = self.results[key]
         if not isinstance(v, np.ndarray):
-            import jax.numpy as jnp
-
-            dev = [(k, a) for k, a in self.results.items()
-                   if not isinstance(a, np.ndarray)]
-            if len(dev) == 1:
-                k0, a0 = dev[0]
-                self.results[k0] = np.asarray(a0)
-            else:
-                dt = jnp.result_type(*[a.dtype for _, a in dev])
-                flat = jnp.concatenate(
-                    [jnp.ravel(a).astype(dt) for _, a in dev]
-                )
-                host = np.asarray(flat)
-                off = 0
-                for k, a in dev:
-                    sz = int(np.prod(a.shape)) if a.ndim else 1
-                    self.results[k] = np.asarray(
-                        host[off:off + sz].reshape(a.shape),
-                        dtype=np.dtype(str(a.dtype)),
-                    )
-                    off += sz
+            for k, a in list(self.results.items()):
+                if not isinstance(a, np.ndarray):
+                    self.results[k] = np.asarray(a)
             v = self.results[key]
         return v
 

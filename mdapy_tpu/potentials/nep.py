@@ -30,6 +30,7 @@ charge jacobian at once.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional
 
 import jax
@@ -299,12 +300,16 @@ class NEP(CalculatorMP):
             *consts, self._static(),
             _pick_block(pos_d.shape[0], verlet_d.shape[1]),
         )
-        # the blocking `bad` fetch (~30 ms tunnel roundtrip) rides under
-        # the force kernel's async device execution dispatched above
-        if int(bad):  # pragma: no cover - guarded by the build contract
-            raise RuntimeError(
-                "asymmetric neighbor list in NEP force evaluation"
-            )
+        # The asymmetry check is opt-in: our cell-list builder is symmetric
+        # by construction (min-image pair tests are reciprocal) and the
+        # contract is covered by tests, while a per-call `bad` fetch lands
+        # BEHIND the force kernel in the device's in-order queue — it would
+        # serialize every force call on its own kernel (~40% of the call).
+        if os.environ.get("MDAPY_TPU_NEP_VALIDATE", "0") == "1":
+            if int(bad):  # pragma: no cover - guarded by the build contract
+                raise RuntimeError(
+                    "asymmetric neighbor list in NEP force evaluation"
+                )
         vol = abs(box.volume)
         # stress = (dE/deps)/V symmetrized, Voigt [xx,yy,zz,yz,xz,xy];
         # results stay device-resident (CalculatorMP._fetch materializes)

@@ -273,7 +273,11 @@ def _build_kinds_cached(jobs, cap_cache):
                 _count_only(x0, y0, sw, sh, nx, cap, nbuckets, seg, tile_px),
             ))
         else:
-            kb, capk = _build_kind(*args, pow2_k=cap_cache is not None)
+            # seed with the TIGHT capacity (pow2 K inflates the megakernel's
+            # static chunk count ~15% for steady-state frames); growth
+            # violations below bump to pow2 so orbit shapes stabilize after
+            # at most a couple of rebuilds
+            kb, capk = _build_kind(*args)
             out[name] = kb
             if cap_cache is not None:
                 cap_cache[ckey] = capk

@@ -984,12 +984,11 @@ def _mega_kernel(
                                 )
 
                             def run_forward(kmax0):
-                                """Double-buffered window scan from w=1
-                                (window 0 already folded by the caller)."""
-                                @pl.when(nw > 1)
-                                def _():
-                                    sdma(1, off0 + SHW).start()
-
+                                """Double-buffered window scan from w=1.
+                                Window 0 is already folded and window 1's
+                                DMA already in flight (the caller issues it
+                                BEFORE waiting window 0, hiding its
+                                latency behind the first fold)."""
                                 wf, _, _ = jax.lax.while_loop(
                                     wcond, wbody,
                                     (jnp.int32(1), kmax0,
@@ -1063,6 +1062,10 @@ def _mega_kernel(
                                 # exactly when the prefetch start did
                                 @pl.when((ci < ncell) & (cnt > 0))
                                 def _(pc_=prefetched):
+                                    @pl.when(nw > 1)
+                                    def _():
+                                        sdma(1, off0 + SHW).start()
+
                                     pltpu.make_async_copy(
                                         ldata_hbm.at[
                                             _l, :,
@@ -1090,6 +1093,11 @@ def _mega_kernel(
                                 @pl.when(gate)
                                 def _():
                                     sdma(0, off0).start()
+
+                                    @pl.when(nw > 1)
+                                    def _():
+                                        sdma(1, off0 + SHW).start()
+
                                     sdma(0, off0).wait()
                                     kmax0 = occl_update(sbuf[0], incell)
                                     wf = run_forward(kmax0)

@@ -3,9 +3,14 @@ enable x64 so golden-fixture comparisons run at reference precision."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# MDAPY_TPU_TEST_REAL=1 keeps the session's real accelerator platform (and
+# f32) for the hardware-gated tests (e.g. the sharded-megakernel
+# compile-on-device test); the default tier runs CPU/x64 for golden parity.
+_REAL = os.environ.get("MDAPY_TPU_TEST_REAL", "0") == "1"
+if not _REAL:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _REAL and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
@@ -15,8 +20,11 @@ import jax
 # jax may already be imported (and pointed at a TPU platform) by the
 # interpreter's sitecustomize; the config update still wins as long as no
 # backend has been initialized yet.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _REAL:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import numpy as np
 import pytest
