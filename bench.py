@@ -410,7 +410,10 @@ def bench_config5():
     # bounded-peak banded path for the orbit.
     os.environ["MDAPY_TPU_RECORD_CACHE_GB"] = "0"
     cams = orbit_cameras(cam, pos.mean(axis=0), 4)
-    for c in cams[:1]:  # warm: compile + capacity high-water for new K
+    # warm EVERY camera: the capacity high-water (and with it the kernel's
+    # static chunk shapes) grows over the first lap — warming one camera
+    # left the other three compiling inside the timed lap (242 s/frame)
+    for c in cams:
         o = ren.render(pos, colors, radii, camera=c, width=W, height=H,
                        device_output=True)
     dsync(o)

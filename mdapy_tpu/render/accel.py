@@ -79,8 +79,14 @@ def _expand_and_bucket(
     offsets = jnp.cumsum(sizes) - sizes
     total = offsets[-1] + sizes[-1]
     pair_idx = jnp.arange(cap, dtype=jnp.int32)
-    item = jnp.searchsorted(offsets + sizes, pair_idx, side="right").astype(jnp.int32)
-    item = jnp.minimum(item, sizes.shape[0] - 1)
+    # pair -> item via scatter + prefix sum: a cap-sized searchsorted is
+    # ~20 gather passes on TPU (~seconds at 8M pairs / camera-motion rates)
+    item = jnp.cumsum(
+        jnp.zeros(cap, jnp.int32).at[
+            jnp.minimum(offsets, cap - 1)
+        ].add(1)
+    ) - 1
+    item = jnp.clip(item, 0, sizes.shape[0] - 1)
     local = pair_idx - offsets[item]
     w = jnp.maximum(span_w[item], 1)
     lx = local % w
@@ -92,9 +98,13 @@ def _expand_and_bucket(
             seg, item, x0[item] + lx, y0[item] + ly, tile_px
         )
     bucket = jnp.where(valid, bucket, nbuckets).astype(jnp.int32)
-    order = jnp.argsort(bucket)
-    bucket_sorted = bucket[order]
-    item_sorted = jnp.where(valid[order], item[order], -1)
+    # 2-operand sort carries the payload through the sort network — the
+    # argsort + two cap-sized payload gathers it replaces cost ~2x at the
+    # 1M-primitive scale (camera-motion frames rebuild this every frame)
+    item_tag = jnp.where(valid, item, -1)
+    bucket_sorted, item_sorted = jax.lax.sort(
+        (bucket, item_tag), num_keys=1
+    )
     bucket_ids = jnp.arange(nbuckets, dtype=jnp.int32)
     start = jnp.searchsorted(bucket_sorted, bucket_ids).astype(jnp.int32)
     end = jnp.searchsorted(bucket_sorted, bucket_ids, side="right").astype(jnp.int32)
@@ -122,8 +132,12 @@ def _count_only(
     offsets = jnp.cumsum(sizes) - sizes
     total = offsets[-1] + sizes[-1]
     pair_idx = jnp.arange(cap, dtype=jnp.int32)
-    item = jnp.searchsorted(offsets + sizes, pair_idx, side="right").astype(jnp.int32)
-    item = jnp.minimum(item, sizes.shape[0] - 1)
+    item = jnp.cumsum(
+        jnp.zeros(cap, jnp.int32).at[
+            jnp.minimum(offsets, cap - 1)
+        ].add(1)
+    ) - 1
+    item = jnp.clip(item, 0, sizes.shape[0] - 1)
     local = pair_idx - offsets[item]
     w = jnp.maximum(span_w[item], 1)
     lx = local % w
@@ -267,10 +281,14 @@ def _build_kinds_cached(jobs, cap_cache):
                 x0, y0, sw, sh, nx, cap, nbuckets, K, seg, tile_px
             )
             out[name] = KindBins(cand, count)
+            # validation scalars come from the build itself: count is
+            # exact whenever total <= cap (checked first), so the separate
+            # _count_only pass (a full expansion-sized scatter) is
+            # redundant on the cached path
             pend.append((
                 name, ckey, args, cap, K,
                 _pair_stats(sw, sh),
-                _count_only(x0, y0, sw, sh, nx, cap, nbuckets, seg, tile_px),
+                jnp.max(count),
             ))
         else:
             # seed with the TIGHT capacity (pow2 K inflates the megakernel's
@@ -383,9 +401,8 @@ def _depth_sort_bins(cand, count, centers, radii, origin, view, chunk: int):
     depth = (centers @ view) - radii - (origin @ view)
     big = jnp.array(BIG_DEPTH, centers.dtype)
     d = jnp.where(cand >= 0, depth[idx], big)
-    order = jnp.argsort(d, axis=1)
-    cand_sorted = jnp.take_along_axis(cand, order, axis=1)
-    d_sorted = jnp.take_along_axis(d, order, axis=1)
+    # payload sort instead of argsort + two take_along gathers
+    d_sorted, cand_sorted = jax.lax.sort((d, cand), dimension=1, num_keys=1)
     nchunks = -(-K // chunk)
     pad = nchunks * chunk - K
     d_pad = jnp.pad(d_sorted, ((0, 0), (0, pad)), constant_values=BIG_DEPTH)
@@ -565,14 +582,15 @@ def _light_csr_kernel_data(cand, centers, radii, alphas, e1, e2, org, L,
     live = cand >= 0
     keyfull = centers @ L + radii
     key = jnp.where(live, keyfull[idx], -BIG_DEPTH)
-    order = jnp.argsort(-key, axis=1)
-    cand_s = jnp.take_along_axis(cand, order, axis=1)
+    _, cand_s = jax.lax.sort((-key, cand), dimension=1, num_keys=1)
     count = jnp.sum(live, axis=1).astype(jnp.int32)
     padded = ((count + (shw - 1)) // shw) * shw
     offs = jnp.cumsum(padded) - padded
     pair = jnp.arange(cap, dtype=jnp.int32)
-    cell = jnp.searchsorted(offs + padded, pair, side="right").astype(jnp.int32)
-    cell = jnp.minimum(cell, ncells - 1)
+    cell = jnp.cumsum(
+        jnp.zeros(cap, jnp.int32).at[jnp.minimum(offs, cap - 1)].add(1)
+    ) - 1
+    cell = jnp.clip(cell, 0, ncells - 1)
     local = pair - offs[cell]
     valid = (local < count[cell]) & (local < K)
     ids = jnp.where(valid, cand_s[cell, jnp.minimum(local, K - 1)], -1)
@@ -730,5 +748,5 @@ def _sort_light_cells(cand, centers, radii, L):
     idx = jnp.maximum(cand, 0)
     key = (centers @ L) + radii
     k = jnp.where(cand >= 0, key[idx], BIG_DEPTH)
-    order = jnp.argsort(k, axis=1)
-    return jnp.take_along_axis(cand, order, axis=1), jnp.take_along_axis(k, order, axis=1)
+    k_s, cand_s = jax.lax.sort((k, cand), dimension=1, num_keys=1)
+    return cand_s, k_s
