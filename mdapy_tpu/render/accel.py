@@ -582,6 +582,9 @@ def _light_csr_kernel_data(cand, centers, radii, alphas, e1, e2, org, L,
     live = cand >= 0
     keyfull = centers @ L + radii
     key = jnp.where(live, keyfull[idx], -BIG_DEPTH)
+    # per-cell max far key: the kernel's scalar pre-gate skips whole cells
+    # whose deepest-reaching record cannot block any lit ray
+    ckmax = jnp.max(key, axis=1)
     _, cand_s = jax.lax.sort((-key, cand), dimension=1, num_keys=1)
     count = jnp.sum(live, axis=1).astype(jnp.int32)
     padded = ((count + (shw - 1)) // shw) * shw
@@ -604,7 +607,7 @@ def _light_csr_kernel_data(cand, centers, radii, alphas, e1, e2, org, L,
     al = jnp.where(ok, alphas[gi], 0.0)
     zero = jnp.zeros_like(cu)
     ldata = jnp.stack([cu, cv, ck, r, kk, al, zero, zero])
-    return ldata, offs.astype(jnp.int32), count
+    return ldata, offs.astype(jnp.int32), count, ckmax
 
 
 def build_light_records(lb: "LightBins", scene, cap_cache: Optional[dict] = None):

@@ -160,6 +160,7 @@ def _mega_kernel(
     zmin_ref,     # (nb*ZC,) f32 SMEM — chunk min depths, capped at ZC
     loffs_ref,    # (L*ncells,) i32 SMEM — light CSR starts, per light
     lcnt_ref,     # (L*ncells,) i32 SMEM — light CSR counts, per light
+    lkmax_ref,    # (L*ncells,) f32 SMEM — per-cell max far key, per light
     ocnt_ref,     # (nb,) i32 SMEM — per-tile cyl/ring candidate counts
     chunks_hbm,   # (nb, nchunks, 8, CH) ANY — candidate records
     ldata_hbm,    # (L, 8, CAP) ANY — light CSR records [cu, cv, ck, r, key…]
@@ -725,9 +726,16 @@ def _mega_kernel(
                         lmeta[_l * 8 + 3] = pnyc.astype(f32)
                         lmeta[_l * 8 + 4] = pncell.astype(f32)
 
+                        # shallowest lit depth for the scalar pre-gate —
+                        # computed from the SAME stored rows the sweep side
+                        # reduces, so start/wait predicates stay identical
+                        if not anti_p:
+                            ptmin = jnp.min(jnp.where(
+                                plit_f[:, :Cp] > 0.5, ptau, BIG
+                            ))
                         # window 0 of the rect's first PREF_C cells; the wait
                         # side recomputes the same (ci < ncell) & (cnt > 0)
-                        # condition from the identical SMEM inputs
+                        # & kmax-gate condition from the identical inputs
                         for _pc in range(PREF_C if not _SCAN_OFF else 0):
                             pdxc = jax.lax.rem(jnp.int32(_pc),
                                                jnp.maximum(pnxc, 1))
@@ -738,8 +746,14 @@ def _mega_kernel(
                             )
                             poff = loffs_ref[_l * ncells_l + pcell]
                             pcnt = lcnt_ref[_l * ncells_l + pcell]
+                            if anti_p:
+                                pkg = jnp.bool_(True)
+                            else:
+                                pkg = (lkmax_ref[_l * ncells_l + pcell]
+                                       > ptmin + eps)
 
-                            @pl.when((jnp.int32(_pc) < pncell) & (pcnt > 0))
+                            @pl.when((jnp.int32(_pc) < pncell) & (pcnt > 0)
+                                     & pkg)
                             def _(l_=_l, pc_=_pc, off_=poff):
                                 pltpu.make_async_copy(
                                     ldata_hbm.at[
@@ -838,6 +852,14 @@ def _mega_kernel(
                                 if anti else None
                             )
                         tau_eps = tau_all + eps
+                        if not anti:
+                            # scalar pre-gate bound: the shallowest lit
+                            # ray's depth — any cell whose deepest record
+                            # key is above it cannot occlude anything, and
+                            # skips ALL per-cell machinery on one SMEM
+                            # compare (antipodal mode disables the gate:
+                            # its -d member scans need the cell regardless)
+                            tmin_lit = jnp.min(jnp.where(litb, tau_all, BIG))
                         blocked[pl.ds(0, 1), pl.ds(0, C)] = jnp.zeros((1, C), f32)
                         if prefetch_on:
                             # rect + first-cell metadata from the prefetch
@@ -957,6 +979,11 @@ def _mega_kernel(
                             )
                             off0 = loffs_ref[_l * ncells_l + cell]
                             cnt = lcnt_ref[_l * ncells_l + cell]
+                            if anti:
+                                kg = jnp.bool_(True)
+                            else:
+                                kg = (lkmax_ref[_l * ncells_l + cell]
+                                      > tmin_lit + eps)
                             nw = (cnt + (SHW - 1)) // SHW
                             incell = (gx_all == cgx) & (gy_all == cgy) & litb
 
@@ -1060,7 +1087,7 @@ def _mega_kernel(
                                 # window 0 already in flight to
                                 # psbuf[_l, prefetched]; the wait must fire
                                 # exactly when the prefetch start did
-                                @pl.when((ci < ncell) & (cnt > 0))
+                                @pl.when((ci < ncell) & (cnt > 0) & kg)
                                 def _(pc_=prefetched):
                                     @pl.when(nw > 1)
                                     def _():
@@ -1082,7 +1109,9 @@ def _mega_kernel(
                                     if anti:
                                         backward(jnp.maximum(wf, 1))
                             else:
-                                gate = (cnt > 0) & (mintau0 < BIG_DEPTH)
+                                gate = (cnt > 0) & kg & (
+                                    mintau0 < BIG_DEPTH
+                                )
                                 if anti:
                                     # -d-only cells must still scan
                                     gate = (cnt > 0) & (
@@ -1844,6 +1873,7 @@ def render_image_mega(
     other_count=None,    # (nb,) i32
     occ_recs=None,       # (16, KG) global cyl/ring occluders
     n_occ: int = 0,
+    lkmax=None,          # (ncells,) f32 per-cell max far key (primary light)
     extra_lights=None,   # list of (lparams_row(16,), ldata, loffs, lcnt, occ)
     ao_shared: bool = False,
     n_peel: int = 1,     # transparency-peeling budget (1 = opaque fast path)
@@ -1911,12 +1941,22 @@ def render_image_mega(
     ldatas = [jnp.asarray(ldata, jnp.float32)]
     loffss = [jnp.asarray(loffs, jnp.int32)]
     lcnts = [jnp.asarray(lcnt, jnp.int32)]
+    # per-cell max far keys (None -> +BIG: the scalar pre-gate never skips)
+    def _km(km, ncl):
+        if km is None:
+            return jnp.full((ncl,), BIG, jnp.float32)
+        return jnp.asarray(km, jnp.float32)
+
+    lkmaxs = [_km(lkmax, loffss[0].shape[0])]
     occs = [occ_recs.astype(jnp.float32)]
-    for (lrow, ld_k, lo_k, lc_k, occ_k) in (extra_lights or ()):
+    for entry in (extra_lights or ()):
+        (lrow, ld_k, lo_k, lc_k, occ_k) = entry[:5]
+        km_k = entry[5] if len(entry) > 5 else None
         lrows.append(jnp.asarray(lrow, jnp.float32))
         ldatas.append(jnp.asarray(ld_k, jnp.float32))
         loffss.append(jnp.asarray(lo_k, jnp.int32))
         lcnts.append(jnp.asarray(lc_k, jnp.int32))
+        lkmaxs.append(_km(km_k, jnp.asarray(lo_k).shape[0]))
         occs.append(
             occs[0] if occ_k is None else jnp.asarray(occ_k, jnp.float32)
         )
@@ -1933,6 +1973,10 @@ def render_image_mega(
     )
     lcnt_s = jnp.concatenate(
         [jnp.pad(a, (0, ncells_l - a.shape[0])) for a in lcnts]
+    )
+    lkmax_s = jnp.concatenate(
+        [jnp.pad(a, (0, ncells_l - a.shape[0]), constant_values=BIG)
+         for a in lkmaxs]
     )
     KG = max(int(a.shape[1]) for a in occs)
     occ_s = jnp.stack(
@@ -1954,7 +1998,7 @@ def render_image_mega(
         merged_sweep=merged_sweep, antipodal=ao_antipodal, peel1=peel1,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(nbp // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -2019,6 +2063,7 @@ def render_image_mega(
         zmin.reshape(-1).astype(jnp.float32),
         loffs_s,
         lcnt_s,
+        lkmax_s,
         other_count.astype(jnp.int32),
         chunk_data,
         ldata_s,
@@ -2044,7 +2089,7 @@ def render_image_mega_banded(
     perspective: bool, shadows: bool, interpret: bool = False,
     quantized: bool = False, extra_lights=None, ao_shared: bool = False,
     n_peel: int = 1, max_band_bytes: int = 2 << 30,
-    ao_antipodal: bool = False, peel1: bool = False,
+    ao_antipodal: bool = False, peel1: bool = False, lkmax=None,
 ):
     """Sequential tile-row-band driver for scenes whose materialized
     candidate records exceed the HBM budget (a 10M-atom 1080p frustum
@@ -2091,7 +2136,7 @@ def render_image_mega_banded(
             perspective=perspective, shadows=shadows, interpret=interpret,
             quantized=quantized, extra_lights=extra_lights,
             ao_shared=ao_shared, n_peel=n_peel, tile_px=TILE_PX,
-            ao_antipodal=ao_antipodal, peel1=peel1,
+            ao_antipodal=ao_antipodal, peel1=peel1, lkmax=lkmax,
         ))
     img = jnp.concatenate(imgs, axis=0)
     pad_top = tiles_y * TILE_PX - height

@@ -489,7 +489,8 @@ class TachyonRender:
                             build_light_records(
                                 lb, scene,
                                 cap_cache=getattr(self, "_cap_cache", None))
-                            if cfg.shadows_enabled else (None, None, None)
+                            if cfg.shadows_enabled
+                            else (None, None, None, None)
                         )
                         other_rec = gather_other_records(bins, scene, lb)
                         jnp = jax.numpy
@@ -536,7 +537,7 @@ class TachyonRender:
                     ao_passes = None
                     # merged-sweep experiments exclude the antipodal path
                     ao_antipodal = (
-                        os.environ.get("MDAPY_TPU_AO_ANTIPODAL", "1") != "0"
+                        os.environ.get("MDAPY_TPU_AO_ANTIPODAL", "0") == "1"
                         and os.environ.get(
                             "MDAPY_TPU_MERGED_SWEEP", "0") != "1"
                     )
@@ -572,7 +573,7 @@ class TachyonRender:
                             ao_passes = []
                             for dk in dirs:
                                 lb_k = build_light_bins(
-                                    scene, jnp.asarray(dk, dtype),
+                                    scene, np.asarray(dk, dtype),
                                     grid=lb.grid,
                                     nlive=self._scene_nlive,
                                     cap_cache=getattr(self, "_cap_cache",
@@ -613,7 +614,8 @@ class TachyonRender:
                             lrow[13] = rmax_s
                             occ_k = or_k[2] if or_k is not None else None
                             extra_lights.append(
-                                (lrow, lr_k[0], lr_k[1], lr_k[2], occ_k)
+                                (lrow, lr_k[0], lr_k[1], lr_k[2], occ_k,
+                                 lr_k[3] if len(lr_k) > 3 else None)
                             )
                         if not shadows_flag:
                             # AO needs the shadow machinery on; give the
@@ -623,6 +625,7 @@ class TachyonRender:
                                 np.zeros((8, 128), np.float32),
                                 np.zeros(ncl, np.int32),
                                 np.zeros(ncl, np.int32),
+                                np.full(ncl, -1e18, np.float32),
                             )
                         shadows_flag = True
                     _ao_shared = (
@@ -641,6 +644,7 @@ class TachyonRender:
                             scene, bins,
                             lr0[0], lr0[1], lr0[2],
                             params, self._seed,
+                            lkmax=(lr0[3] if len(lr0) > 3 else None),
                             S=S, width=int(width), height=int(height),
                             grid_n=lb.grid, eps=cfg.eps,
                             perspective=bool(frame["perspective"]),
@@ -657,6 +661,7 @@ class TachyonRender:
                             chunk_data, bins.sph_zmin,
                             lr0[0], lr0[1], lr0[2],
                             params, self._seed,
+                            lkmax=(lr0[3] if len(lr0) > 3 else None),
                             S=S, width=int(width), height=int(height),
                             tiles_x=bins.tiles_x, tiles_y=bins.tiles_y,
                             grid_n=lb.grid, eps=cfg.eps,

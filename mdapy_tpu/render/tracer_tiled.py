@@ -633,7 +633,7 @@ def render_image_pallas(
         if light_records is not None:
             from .pallas_kernels import shadow_filter_tiles
 
-            ldata, loffs, lcnt = light_records
+            ldata, loffs, lcnt = light_records[:3]
             u = hit @ lb.e1 - lb.org[0]
             v = hit @ lb.e2 - lb.org[1]
             tau = hit @ lb.L
