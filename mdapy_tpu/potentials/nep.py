@@ -510,7 +510,11 @@ def _q_from_s(s_blocks, L_max: int, L4: bool, L5: bool):
 
 def _pick_block(n: int, M: int) -> int:
     """Row-block size for the chunked evaluation: bound the largest per-block
-    temporary (B * M * ~50 floats fwd+bwd) to ~100 MB."""
+    temporary (B * M * ~50 floats fwd+bwd) to ~100 MB.
+    MDAPY_TPU_NEP_BLOCK overrides for tuning sweeps."""
+    env = os.environ.get("MDAPY_TPU_NEP_BLOCK", "")
+    if env:
+        return int(env)
     target = max(1, (1 << 21) // max(M, 1))  # ~2M pair rows per block
     b = 1 << max(0, (min(n, target) - 1)).bit_length()
     return max(128, min(b, 8192))
