@@ -413,7 +413,14 @@ class TachyonRender:
                     n_cylring = nl["cyl"] + nl["ring"]
                 # fast-AO passes run the megakernel with shadow rays on
                 # regardless of cfg.shadows_enabled, so the occluder bound
-                # must cover the AO case too
+                # must cover the AO case too.
+                # KNOWN CLIFF (open): very heavy bond scenes — >512 per-tile
+                # cyl/ring candidates, or >8192 global occluders with
+                # shadows/AO — drop to the exact tracer.  The bound is not
+                # VMEM (the lists could stream) but the per-tile DENSE
+                # candidate intersection, which scales with the full list;
+                # removing it needs depth-sorted cyl/ring chunks with zmin
+                # early-exit like the sphere path.
                 use_mega = (
                     use_pallas and bins.sph_chunks is not None
                     and bins.tile_px in (8, 16, 32) and cfg.direct_light_enabled
